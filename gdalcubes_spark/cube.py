@@ -1,0 +1,383 @@
+"""The Cube abstraction: a lazy, distributed 4-D array (band, time, y, x).
+
+Physical representation: a DataFrame of *chunk rows* — one row per spatiotemporal
+chunk, payload a dense float64 tensor of shape (nb, nt_c, ny_c, nx_c) in
+row-major order, mirroring gdalcubes' chunk_data layout (cube.h:263-388) but
+carried as a Spark binary column so Arrow moves it in bulk.
+
+NaN is the universal nodata value (image_collection_cube.cpp:343-346).
+All-NaN chunks are *elided* — the row is simply absent from the DataFrame
+(empty-chunk short-circuit, image_collection_cube.cpp:674-678) — so sparse
+cubes cost nothing to shuffle. Every operator must treat a missing chunk row
+as an all-NaN chunk.
+
+Scale notes:
+- one chunk row ≈ 8*nb*nt_c*ny_c*nx_c bytes; default chunking keeps this in
+  the tens of MB so a single Arrow batch / Spark task handles a few chunks.
+- chunk_id is the deterministic partition/join key (cube.h:495-497); narrow
+  ops are mapInPandas (no shuffle), wide ops shuffle on a chunk-coord subset.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdalcubes_spark.grid import ChunkGrid, CubeView, default_chunking
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("ct", T.IntegerType(), False),
+        T.StructField("cy", T.IntegerType(), False),
+        T.StructField("cx", T.IntegerType(), False),
+        T.StructField("nb", T.IntegerType(), False),
+        T.StructField("nt", T.IntegerType(), False),
+        T.StructField("ny", T.IntegerType(), False),
+        T.StructField("nx", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("it", T.IntegerType(), False),
+        T.StructField("iy", T.IntegerType(), False),
+        T.StructField("ix", T.IntegerType(), False),
+        T.StructField("band", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def tensor_of(row) -> np.ndarray:
+    """Decode a chunk row's payload into an (nb, nt, ny, nx) float64 array."""
+    return np.frombuffer(row["data"], dtype="<f8").reshape(
+        int(row["nb"]), int(row["nt"]), int(row["ny"]), int(row["nx"])
+    )
+
+
+def pack_tensor(a: np.ndarray) -> bytes:
+    return np.ascontiguousarray(a, dtype="<f8").tobytes()
+
+
+@dataclass
+class Cube:
+    """A data cube: chunk-row DataFrame + spacetime reference + bands + chunking.
+
+    Shape metadata is computed eagerly at plan-construction time (like the
+    reference's cube constructors); data stays lazy in the DataFrame lineage,
+    which doubles as the serializable plan (Catalyst)."""
+
+    df: DataFrame
+    view: CubeView
+    bands: List[str]
+    chunking: ChunkGrid
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def shape(self):
+        return (len(self.bands), self.view.nt, self.view.ny, self.view.nx)
+
+    def band_index(self, name: str) -> int:
+        return self.bands.index(name)
+
+    def _derive(self, df: DataFrame, view: Optional[CubeView] = None, bands: Optional[List[str]] = None,
+                chunking: Optional[ChunkGrid] = None) -> "Cube":
+        return Cube(df, view or self.view, list(bands or self.bands), chunking or self.chunking)
+
+    # ----------------------------------------------------------- chunk plumbing
+    def map_chunks(
+        self,
+        fn: Callable[[np.ndarray, tuple], Optional[np.ndarray]],
+        out_view: Optional[CubeView] = None,
+        out_bands: Optional[List[str]] = None,
+        out_chunking: Optional[ChunkGrid] = None,
+    ) -> "Cube":
+        """Narrow per-chunk tensor transform (no shuffle): fn(tensor,
+        (ict,icy,icx)) → new tensor or None (→ empty chunk elision).
+        Output chunk grid must keep the same (ct,cy,cx) chunk coordinates
+        unless out_chunking says otherwise."""
+        view = out_view or self.view
+        bands = list(out_bands or self.bands)
+        chunking = out_chunking or self.chunking
+
+        def gen(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    t = tensor_of(row)
+                    r = fn(t, (int(row["ct"]), int(row["cy"]), int(row["cx"])))
+                    if r is None or (isinstance(r, np.ndarray) and np.all(np.isnan(r))):
+                        continue
+                    nb, nt, ny, nx = r.shape
+                    out.append(
+                        dict(chunk_id=int(row["chunk_id"]), ct=int(row["ct"]), cy=int(row["cy"]),
+                             cx=int(row["cx"]), nb=nb, nt=nt, ny=ny, nx=nx, data=pack_tensor(r))
+                    )
+                yield pd.DataFrame(out, columns=[f.name for f in CHUNK_SCHEMA.fields]) if out else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in CHUNK_SCHEMA.fields}
+                )
+
+        return self._derive(self.df.mapInPandas(gen, CHUNK_SCHEMA), view, bands, chunking)
+
+    # ------------------------------------------------------------- long format
+    def cells(self, drop_nan: bool = True, band_as_index: bool = False) -> DataFrame:
+        """Explode chunk tensors to long format (it, iy, ix, band, value) with
+        *global* cell indices. Set-oriented ops and the SQL-oracle comparisons
+        run on this form. drop_nan mirrors the reference's convention that
+        NaN == absent."""
+        bands = list(self.bands)
+        g = self.chunking
+
+        schema = CELL_SCHEMA if not band_as_index else T.StructType(
+            [
+                T.StructField("it", T.IntegerType(), False),
+                T.StructField("iy", T.IntegerType(), False),
+                T.StructField("ix", T.IntegerType(), False),
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+
+        def gen(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    t = tensor_of(row)
+                    nb, nt, ny, nx = t.shape
+                    (t0, _), (y0, _), (x0, _) = g.chunk_cell_range(int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    bi, ti, yi, xi = np.unravel_index(np.arange(t.size), t.shape)
+                    v = t.ravel()
+                    if drop_nan:
+                        keep = ~np.isnan(v)
+                        bi, ti, yi, xi, v = bi[keep], ti[keep], yi[keep], xi[keep], v[keep]
+                    if len(v) == 0:
+                        continue
+                    band_col = bi.astype("int32") if band_as_index else np.array(bands, dtype=object)[bi]
+                    yield pd.DataFrame(
+                        dict(
+                            it=(ti + t0).astype("int32"), iy=(yi + y0).astype("int32"),
+                            ix=(xi + x0).astype("int32"), band=band_col, value=v,
+                        )
+                    )
+                yield pd.DataFrame(
+                    dict(it=pd.Series(dtype="int32"), iy=pd.Series(dtype="int32"), ix=pd.Series(dtype="int32"),
+                         band=pd.Series(dtype="object" if not band_as_index else "int32"),
+                         value=pd.Series(dtype="float64"))
+                )
+
+        return self.df.mapInPandas(gen, schema)
+
+    @staticmethod
+    def from_cells(cells_df: DataFrame, view: CubeView, bands: List[str], chunking: ChunkGrid) -> "Cube":
+        """Assemble a Cube from a long-format DataFrame (inverse of cells()).
+        Cells absent from the input are NaN. Shuffles once on chunk_id."""
+        g = chunking
+        b2i = {b: i for i, b in enumerate(bands)}
+        ncx, ncy = g.ncx, g.ncy
+        ct_, cy_, cx_ = g.ct, g.cy, g.cx
+
+        df = cells_df.withColumn("_ict", (F.col("it") / ct_).cast("int")) \
+            .withColumn("_icy", (F.col("iy") / cy_).cast("int")) \
+            .withColumn("_icx", (F.col("ix") / cx_).cast("int")) \
+            .withColumn("chunk_id", (F.col("_ict").cast("long") * (ncy * ncx) + F.col("_icy") * ncx + F.col("_icx")))
+
+        nb = len(bands)
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(key[0])
+            ict, icy, icx = g.chunk_coords(cid)
+            (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(ict, icy, icx)
+            t = np.full((nb, t1 - t0, y1 - y0, x1 - x0), np.nan)
+            bi = pdf["band"].map(b2i).to_numpy()
+            t[bi, pdf["it"].to_numpy() - t0, pdf["iy"].to_numpy() - y0, pdf["ix"].to_numpy() - x0] = (
+                pdf["value"].to_numpy()
+            )
+            return pd.DataFrame(
+                [dict(chunk_id=cid, ct=ict, cy=icy, cx=icx, nb=nb, nt=t1 - t0, ny=y1 - y0, nx=x1 - x0,
+                      data=pack_tensor(t))]
+            )
+
+        out = df.groupBy("chunk_id").applyInPandas(assemble, CHUNK_SCHEMA)
+        return Cube(out, view, list(bands), chunking)
+
+    # ---------------------------------------------------------------- collect
+    def collect_array(self) -> np.ndarray:
+        """Assemble the whole cube on the driver as (nb, nt, ny, nx). Test/
+        debug harness only — the distributed path writes chunk tables."""
+        v, g = self.view, self.chunking
+        out = np.full((len(self.bands), v.nt, v.ny, v.nx), np.nan)
+        for row in self.df.collect():
+            t = np.frombuffer(row["data"], dtype="<f8").reshape(row["nb"], row["nt"], row["ny"], row["nx"])
+            (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(row["ct"], row["cy"], row["cx"])
+            out[:, t0:t1, y0:y1, x0:x1] = t
+        return out
+
+    # ------------------------------------------------------------ persistence
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Materialize the chunk table (the ncdf/Iceberg sink analogue,
+        cube.cpp:617+). Re-open with read_parquet_cube()."""
+        meta = dict(view=self.view.to_json(), bands=",".join(self.bands),
+                    ct=str(self.chunking.ct), cy=str(self.chunking.cy), cx=str(self.chunking.cx))
+        df = self.df
+        for k, val in meta.items():
+            df = df.withColumn(f"_meta_{k}", F.lit(val))
+        df.write.mode(mode).parquet(path)
+
+    # operator API (implemented in gdalcubes_spark.operators.*; thin wrappers
+    # so pipelines read like the reference's R verb chains)
+    def select_bands(self, bands: Sequence[str]) -> "Cube":
+        from gdalcubes_spark.operators.select import select_bands
+        return select_bands(self, bands)
+
+    def rename_bands(self, mapping: dict) -> "Cube":
+        from gdalcubes_spark.operators.select import rename_bands
+        return rename_bands(self, mapping)
+
+    def apply_pixel(self, exprs, names=None, keep_bands: bool = False) -> "Cube":
+        from gdalcubes_spark.operators.apply_pixel import apply_pixel
+        return apply_pixel(self, exprs, names, keep_bands)
+
+    def filter_pixel(self, predicate: str) -> "Cube":
+        from gdalcubes_spark.operators.apply_pixel import filter_pixel
+        return filter_pixel(self, predicate)
+
+    def reduce_time(self, *reducers, names=None) -> "Cube":
+        from gdalcubes_spark.operators.reduce import reduce_time
+        return reduce_time(self, list(reducers), names)
+
+    def reduce_space(self, *reducers, names=None) -> "Cube":
+        from gdalcubes_spark.operators.reduce import reduce_space
+        return reduce_space(self, list(reducers), names)
+
+    def aggregate_time(self, dt: Optional[str] = None, fact: Optional[int] = None, method: str = "mean") -> "Cube":
+        from gdalcubes_spark.operators.aggregate import aggregate_time
+        return aggregate_time(self, dt=dt, fact=fact, method=method)
+
+    def aggregate_space(self, dx: Optional[float] = None, dy: Optional[float] = None,
+                        fact: Optional[int] = None, method: str = "mean") -> "Cube":
+        from gdalcubes_spark.operators.aggregate import aggregate_space
+        return aggregate_space(self, dx=dx, dy=dy, fact=fact, method=method)
+
+    def slice_time(self, t=None, it: Optional[int] = None) -> "Cube":
+        from gdalcubes_spark.operators.select import slice_time
+        return slice_time(self, t=t, it=it)
+
+    def slice_space(self, x: Optional[float] = None, y: Optional[float] = None,
+                    ix: Optional[int] = None, iy: Optional[int] = None) -> "Cube":
+        from gdalcubes_spark.operators.select import slice_space
+        return slice_space(self, x=x, y=y, ix=ix, iy=iy)
+
+    def select_time(self, datetimes) -> "Cube":
+        from gdalcubes_spark.operators.select import select_time
+        return select_time(self, datetimes)
+
+    def crop(self, left=None, right=None, bottom=None, top=None, t0=None, t1=None, snap: str = "near") -> "Cube":
+        from gdalcubes_spark.operators.select import crop
+        return crop(self, left=left, right=right, bottom=bottom, top=top, t0=t0, t1=t1, snap=snap)
+
+    def window_time(self, window, reducer: Optional[str] = None, kernel=None) -> "Cube":
+        from gdalcubes_spark.operators.window import window_time
+        return window_time(self, window, reducer=reducer, kernel=kernel)
+
+    def window_space(self, reducer: Optional[str] = None, kernel=None, window=None, pad: str = "none",
+                     pad_value: float = 0.0) -> "Cube":
+        from gdalcubes_spark.operators.window import window_space
+        return window_space(self, reducer=reducer, kernel=kernel, window=window, pad=pad, pad_value=pad_value)
+
+    def fill_time(self, method: str = "linear") -> "Cube":
+        from gdalcubes_spark.operators.window import fill_time
+        return fill_time(self, method)
+
+    def join_bands(self, *others: "Cube", prefixes=None) -> "Cube":
+        from gdalcubes_spark.operators.join_bands import join_bands
+        return join_bands([self, *others], prefixes=prefixes)
+
+    def filter_geom(self, wkt: str) -> "Cube":
+        from gdalcubes_spark.operators.filter_geom import filter_geom
+        return filter_geom(self, wkt)
+
+    def extract_geom(self, features: DataFrame, time_column: Optional[str] = None) -> DataFrame:
+        from gdalcubes_spark.operators.extract_geom import extract_geom
+        return extract_geom(self, features, time_column=time_column)
+
+    def apply_time(self, fn, names=None) -> "Cube":
+        from gdalcubes_spark.operators.stream import apply_time
+        return apply_time(self, fn, names)
+
+    def chunk_apply(self, fn, names=None) -> "Cube":
+        from gdalcubes_spark.operators.stream import chunk_apply
+        return chunk_apply(self, fn, names)
+
+
+# ---------------------------------------------------------------- sources
+
+
+def dummy_cube(spark: SparkSession, view: CubeView, nbands: int = 1, fill: float = 1.0,
+               chunking: Optional[ChunkGrid] = None, band_names: Optional[List[str]] = None) -> Cube:
+    """Constant-fill synthetic cube (reference dummy.cpp:29-60) — the backbone
+    of every golden test. Distributed: one task per ~few chunks."""
+    g = chunking or default_chunking(view)
+    bands = band_names or [f"band{i + 1}" for i in range(nbands)]
+    n = g.n_chunks
+    parts = min(n, max(1, spark.sparkContext.defaultParallelism))
+    base = spark.range(0, n, numPartitions=parts).withColumnRenamed("id", "chunk_id")
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for cid in pdf["chunk_id"]:
+                ict, icy, icx = g.chunk_coords(int(cid))
+                nt, ny, nx = g.chunk_shape(ict, icy, icx)
+                t = np.full((nbands, nt, ny, nx), float(fill))
+                rows.append(dict(chunk_id=int(cid), ct=ict, cy=icy, cx=icx, nb=nbands, nt=nt, ny=ny, nx=nx,
+                                 data=pack_tensor(t)))
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields]) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in CHUNK_SCHEMA.fields})
+
+    return Cube(base.mapInPandas(gen, CHUNK_SCHEMA), view, bands, g)
+
+
+def empty_cube(spark: SparkSession, view: CubeView, nbands: int = 1,
+               chunking: Optional[ChunkGrid] = None, band_names: Optional[List[str]] = None) -> Cube:
+    """All-NaN cube: zero chunk rows (empty-chunk elision makes this free)."""
+    g = chunking or default_chunking(view)
+    bands = band_names or [f"band{i + 1}" for i in range(nbands)]
+    return Cube(spark.createDataFrame([], CHUNK_SCHEMA), view, bands, g)
+
+
+def cube_from_array(spark: SparkSession, arr: np.ndarray, view: CubeView,
+                    chunking: Optional[ChunkGrid] = None, band_names: Optional[List[str]] = None) -> Cube:
+    """Driver-side numpy (nb,nt,ny,nx) → distributed Cube. Test harness."""
+    nb, nt, ny, nx = arr.shape
+    assert (nt, ny, nx) == (view.nt, view.ny, view.nx), f"{arr.shape} vs view {(view.nt, view.ny, view.nx)}"
+    g = chunking or default_chunking(view)
+    bands = band_names or [f"band{i + 1}" for i in range(nb)]
+    rows = []
+    for cid in range(g.n_chunks):
+        ict, icy, icx = g.chunk_coords(cid)
+        (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(ict, icy, icx)
+        t = arr[:, t0:t1, y0:y1, x0:x1]
+        if np.all(np.isnan(t)):
+            continue
+        rows.append((cid, ict, icy, icx, nb, t1 - t0, y1 - y0, x1 - x0, pack_tensor(t)))
+    df = spark.createDataFrame(rows, CHUNK_SCHEMA) if rows else spark.createDataFrame([], CHUNK_SCHEMA)
+    return Cube(df, view, bands, g)
+
+
+def read_parquet_cube(spark: SparkSession, path: str) -> Cube:
+    """Re-open a materialized chunk table (ncdf_cube analogue, ncdf_cube.h:48)."""
+    df = spark.read.parquet(path)
+    meta = df.select("_meta_view", "_meta_bands", "_meta_ct", "_meta_cy", "_meta_cx").first()
+    view = CubeView.from_json(meta["_meta_view"])
+    bands = meta["_meta_bands"].split(",")
+    g = ChunkGrid(nt=view.nt, ny=view.ny, nx=view.nx, ct=int(meta["_meta_ct"]),
+                  cy=int(meta["_meta_cy"]), cx=int(meta["_meta_cx"]))
+    return Cube(df.select([f.name for f in CHUNK_SCHEMA.fields]), view, bands, g)

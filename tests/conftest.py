@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gdalcubes_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("gdalcubes-tests", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")), shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
