@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: deterministic cube derived from sf0.001 lineitem →
+                 reduce_time + zonal stats (the BASELINE.json metric shape).
+queries()      — one entry per implemented operator (SURVEY.md §2); each runs
+                 the REAL cube machinery (chunk tensors, Arrow UDFs) and
+                 returns a long-format DataFrame.
+oracle_sql()   — ANSI-SQL equivalents DuckDB runs on the same parquet views.
+
+The cube inputs are derived deterministically from the lineitem table
+(it = l_orderkey % NT, iy = l_partkey % NY, ix = l_suppkey % NX,
+value = sum(l_quantity)) so Spark and DuckDB compute from identical data.
+Aggregate choices keep float64 arithmetic exact (integer-valued sums) so
+value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +19,224 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+NT, NY, NX = 6, 20, 20
+
+_CELLS_CTE = f"""
+WITH cells AS (
+  SELECT CAST(l_orderkey % {NT} AS INTEGER) AS it,
+         CAST(l_partkey % {NY} AS INTEGER) AS iy,
+         CAST(l_suppkey % {NX} AS INTEGER) AS ix,
+         CAST('v' AS VARCHAR) AS band,
+         CAST(SUM(l_quantity) AS DOUBLE) AS value
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def _lineitem_cube(spark: SparkSession, sf_dir: str, chunking=None):
+    """Deterministic 6×20×20 cube from lineitem (see module docstring)."""
+    from gdalcubes_spark.cube import Cube
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = (li.groupBy((F.col("l_orderkey") % NT).cast("int").alias("it"),
+                        (F.col("l_partkey") % NY).cast("int").alias("iy"),
+                        (F.col("l_suppkey") % NX).cast("int").alias("ix"))
+             .agg(F.sum("l_quantity").cast("double").alias("value"))
+             .withColumn("band", F.lit("v"))
+             .select("it", "iy", "ix", "band", "value"))
+    view = CubeView.create(srs="EPSG:4326", left=0, right=NX, bottom=0, top=NY,
+                           t0="2021-01-01", t1="2021-01-06", dt="P1D", dx=1.0, dy=1.0)
+    g = chunking or ChunkGrid(nt=NT, ny=NY, nx=NX, ct=2, cy=8, cx=8)
+    return Cube.from_cells(cells, view, ["v"], g)
+
+
+def _rect_features(spark: SparkSession) -> DataFrame:
+    from gdalcubes_spark.geom import rect_wkt
+    rows = [(1, rect_wkt(0, 10, 10, 20)),   # NW quadrant
+            (2, rect_wkt(10, 0, 20, 10)),   # SE quadrant
+            (3, rect_wkt(5, 5, 15, 15))]    # center, crosses chunk borders
+    return spark.createDataFrame(rows, "fid long, wkt string")
+
+
+_RECTS_SQL = "(VALUES (1, 0.0, 10.0, 10.0, 20.0), (2, 10.0, 0.0, 20.0, 10.0), (3, 5.0, 5.0, 15.0, 15.0)) AS rects(fid, rl, rb, rr, rt)"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Monthly-median-style flagship at sf0.001: cube → reduce_time(median)
+    → zonal statistics over polygons (the BASELINE.json metric shape)."""
+    from gdalcubes_spark.operators.extract_geom import zonal_stats
+
+    cube = _lineitem_cube(spark, "/root/testdata/sf0.001")
+    reduced = cube.reduce_time("median(v)", "count(v)", names=["v", "n"])
+    return zonal_stats(reduced, _rect_features(spark), ["mean", "count"], by_time=True)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def _q_reduce_time(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.reduce_time("mean(v)", "min(v)", "max(v)", "median(v)")
+    return r.cells().select("iy", "ix", "band", "value")
+
+
+def _q_reduce_space(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.reduce_space("mean(v)", "min(v)", "max(v)")
+    return r.cells().select("it", "band", "value")
+
+
+def _q_apply_pixel(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return (c.apply_pixel("v * 2 + ix + iy + it", ["w"]).cells()
+            .select("it", "iy", "ix", "band", "value"))
+
+
+def _q_filter_pixel(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.filter_pixel("v % 7 > 3").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_crop(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.crop(left=5, right=15, bottom=5, top=15, t0="2021-01-02", t1="2021-01-05")
+    return r.cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_slice_time(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.slice_time(t="2021-01-04").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_slice_space(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.slice_space(ix=7, iy=3).cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_select_time(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.select_time(["2021-01-02", "2021-01-05"]).cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_zonal_stats(spark, sf_dir):
+    from gdalcubes_spark.operators.extract_geom import zonal_stats
+    c = _lineitem_cube(spark, sf_dir)
+    zs = zonal_stats(c, _rect_features(spark), ["mean", "count", "min", "max"], by_time=True)
+    return zs.select("fid", "time", "v_mean", "v_count", "v_min", "v_max")
+
+
+def _q_filter_geom(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.filter_geom("POLYGON ((2 2, 18 2, 18 18, 2 18, 2 2), (8 8, 12 8, 12 12, 8 12, 8 8))")
+    return r.cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_scan_monthly_median(spark, sf_dir):
+    """Image-table scan flagship (no SQL oracle — binary decode): synthetic
+    image inventory → raster_cube(median) → NDVI-ish expr → reduce_time."""
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=4, tile_w=32, tile_h=32, nb=2, fmts=("png", "raw", "jpeg"),
+                      hot_every=7, overlap=0.25)
+    imgs = generate_images(spark, 64, lay)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                        t0="2021-01-01", t1="2021-01-04", dt="P1D", dx=0.125, dy=0.125,
+                        aggregation="median", resampling="near")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16), salt=0)
+    ndvi = c.apply_pixel("(b02 - b01) / (b02 + b01 + 1)", ["ndvi"])
+    return ndvi.reduce_time("median(ndvi)").cells().select("iy", "ix", "value")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cube_reduce_time": _q_reduce_time,
+        "cube_reduce_space": _q_reduce_space,
+        "cube_apply_pixel": _q_apply_pixel,
+        "cube_filter_pixel": _q_filter_pixel,
+        "cube_crop": _q_crop,
+        "cube_slice_time": _q_slice_time,
+        "cube_slice_space": _q_slice_space,
+        "cube_select_time": _q_select_time,
+        "cube_zonal_stats": _q_zonal_stats,
+        "cube_filter_geom": _q_filter_geom,
+        "scan_monthly_median": _q_scan_monthly_median,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cube_reduce_time": _CELLS_CTE + f"""
+            SELECT iy, ix, band || '_mean' AS band, AVG(value) AS value FROM cells GROUP BY iy, ix, cells.band
+            UNION ALL
+            SELECT iy, ix, band || '_min', MIN(value) FROM cells GROUP BY iy, ix, cells.band
+            UNION ALL
+            SELECT iy, ix, band || '_max', MAX(value) FROM cells GROUP BY iy, ix, cells.band
+            UNION ALL
+            SELECT iy, ix, band || '_median', QUANTILE_CONT(value, 0.5) FROM cells GROUP BY iy, ix, cells.band
+        """,
+        "cube_reduce_space": _CELLS_CTE + """
+            SELECT it, band || '_mean' AS band, AVG(value) AS value FROM cells GROUP BY it, cells.band
+            UNION ALL
+            SELECT it, band || '_min', MIN(value) FROM cells GROUP BY it, cells.band
+            UNION ALL
+            SELECT it, band || '_max', MAX(value) FROM cells GROUP BY it, cells.band
+        """,
+        "cube_apply_pixel": _CELLS_CTE + """
+            SELECT it, iy, ix, 'w' AS band, value * 2 + ix + iy + it AS value FROM cells
+        """,
+        "cube_filter_pixel": _CELLS_CTE + """
+            SELECT it, iy, ix, band, value FROM cells WHERE value % 7 > 3
+        """,
+        "cube_crop": _CELLS_CTE + """
+            SELECT CAST(it - 1 AS INTEGER) AS it, CAST(iy - 5 AS INTEGER) AS iy,
+                   CAST(ix - 5 AS INTEGER) AS ix, band, value
+            FROM cells
+            WHERE ix >= 5 AND ix < 15 AND iy >= 5 AND iy < 15 AND it >= 1 AND it <= 4
+        """,
+        "cube_slice_time": _CELLS_CTE + """
+            SELECT CAST(0 AS INTEGER) AS it, iy, ix, band, value FROM cells WHERE it = 3
+        """,
+        "cube_slice_space": _CELLS_CTE + """
+            SELECT it, CAST(0 AS INTEGER) AS iy, CAST(0 AS INTEGER) AS ix, band, value
+            FROM cells WHERE ix = 7 AND iy = 3
+        """,
+        "cube_select_time": _CELLS_CTE + """
+            SELECT CAST(CASE WHEN it = 1 THEN 0 ELSE 1 END AS INTEGER) AS it, iy, ix, band, value
+            FROM cells WHERE it IN (1, 4)
+        """,
+        "cube_zonal_stats": _CELLS_CTE + f"""
+            SELECT fid,
+                   STRFTIME(DATE '2021-01-01' + it * INTERVAL 1 DAY, '%Y-%m-%d') AS time,
+                   AVG(value) AS v_mean, COUNT(value) AS v_count,
+                   MIN(value) AS v_min, MAX(value) AS v_max
+            FROM cells, {_RECTS_SQL}
+            WHERE (ix + 0.5) > rl AND (ix + 0.5) < rr
+              AND ({NY} - iy - 0.5) > rb AND ({NY} - iy - 0.5) < rt
+            GROUP BY fid, it
+        """,
+        "cube_filter_geom": _CELLS_CTE + """
+            SELECT CAST(it AS INTEGER) AS it, CAST(iy - 2 AS INTEGER) AS iy,
+                   CAST(ix - 2 AS INTEGER) AS ix, band, value
+            FROM cells
+            WHERE (ix + 0.5) > 2 AND (ix + 0.5) < 18
+              AND (20 - iy - 0.5) > 2 AND (20 - iy - 0.5) < 18
+              AND NOT ((ix + 0.5) > 8 AND (ix + 0.5) < 12
+                       AND (20 - iy - 0.5) > 8 AND (20 - iy - 0.5) < 12)
+        """,
+        # scan_monthly_median: intentionally no oracle (binary image decode is
+        # not SQL-expressible); driver records the rows-only check, and the
+        # pytest suite verifies the scan against a numpy oracle instead.
+    }

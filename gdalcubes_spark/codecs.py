@@ -1,0 +1,169 @@
+"""Image payload codecs for the (image_id, bytes, w, h, fmt, caption, phash)
+input table.
+
+- "raw":  uint8 tensor (nb, h, w) with a tiny header — lossless, zero-dep.
+- "png":  real PNG (RFC 2083 structure) via zlib — lossless; supports 8-bit
+  greyscale (1 band) and RGB (3 bands), no interlace. Implemented from the
+  public PNG spec; exercised by the lossless end-to-end tests.
+- "jpeg": this container has no JPEG library (no PIL). The codec is a
+  clearly-marked DETERMINISTIC STUB: encode quantizes pixel values to
+  multiples of 4 and stores them raw — a stand-in lossy transform whose
+  PSNR vs the original (~46 dB) exercises the PSNR≥40dB acceptance path.
+  The Spark-side plumbing (binary column, batch decode in Arrow UDFs) is
+  real; swap `_jpeg_*` for libjpeg bindings in production.
+
+Decoded pixel values are uint8 (0..255) → float64 at cube level, like GDAL
+band data entering gdalcubes (image_collection.h:49).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+_RAW_MAGIC = b"GCR1"
+
+
+# ------------------------------------------------------------------- raw
+
+def _raw_encode(a: np.ndarray) -> bytes:
+    nb, h, w = a.shape
+    return _RAW_MAGIC + struct.pack("<HHH", nb, h, w) + np.ascontiguousarray(a, dtype=np.uint8).tobytes()
+
+
+def _raw_decode(b: bytes) -> np.ndarray:
+    assert b[:4] == _RAW_MAGIC, "not a raw payload"
+    nb, h, w = struct.unpack("<HHH", b[4:10])
+    return np.frombuffer(b, dtype=np.uint8, offset=10).reshape(nb, h, w)
+
+
+# ------------------------------------------------------------------- png
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+        ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+    )
+
+
+def _png_encode(a: np.ndarray) -> bytes:
+    nb, h, w = a.shape
+    color_of = {1: 0, 2: 4, 3: 2, 4: 6}  # grey, grey+alpha, rgb, rgba
+    if nb not in color_of:
+        raise ValueError("png codec supports 1-4 bands (grey/GA/RGB/RGBA)")
+    color = color_of[nb]
+    inter = np.moveaxis(a, 0, -1)  # (h, w, nb)
+    raw = b"".join(b"\x00" + inter[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b""))
+
+
+def _png_decode(b: bytes) -> np.ndarray:
+    assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
+    pos, idat, w = 8, [], None
+    while pos < len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8 and interlace == 0, "unsupported png"
+            nb = {0: 1, 4: 2, 2: 3, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nb
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for r in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(nb, stride):
+                line[i] = (line[i] + line[i - nb]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        else:
+            raise ValueError(f"png filter {ftype} not supported")
+        out[r] = line
+        prev = line
+        off += 1 + stride
+    if nb == 1:
+        return out.reshape(1, h, w)
+    return np.moveaxis(out.reshape(h, w, nb), -1, 0)
+
+
+# ------------------------------------------------------------------- jpeg (stub)
+
+_JPEG_MAGIC = b"GCJ1"
+JPEG_QUANT = 4  # stub quantization step → PSNR ≈ 20*log10(255/(q/sqrt(12))) ≈ 46 dB
+
+
+def _jpeg_encode(a: np.ndarray) -> bytes:
+    """DETERMINISTIC LOSSY STUB (no libjpeg in this environment)."""
+    q = (np.round(a.astype(np.float64) / JPEG_QUANT) * JPEG_QUANT).clip(0, 255).astype(np.uint8)
+    return _JPEG_MAGIC + _raw_encode(q)
+
+
+def _jpeg_decode(b: bytes) -> np.ndarray:
+    if b[:4] != _JPEG_MAGIC:
+        raise NotImplementedError(
+            "real JPEG decode requires libjpeg/PIL, not available in this container; "
+            "only the deterministic stub payloads are supported"
+        )
+    return _raw_decode(b[4:])
+
+
+# ------------------------------------------------------------------- api
+
+def encode(a: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return _raw_encode(a)
+    if fmt == "png":
+        return _png_encode(a)
+    if fmt == "jpeg":
+        return _jpeg_encode(a)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def decode(b: bytes, fmt: str) -> np.ndarray:
+    """bytes → uint8 (nb, h, w)."""
+    if fmt == "raw":
+        return _raw_decode(b)
+    if fmt == "png":
+        return _png_decode(b)
+    if fmt == "jpeg":
+        return _jpeg_decode(b)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def phash64(a: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-ish hash: sign pattern of an 8x8
+    mean-pooled, mean-centred downsample (the classic aHash construction)."""
+    nb, h, w = a.shape
+    g = a.mean(axis=0)
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    pooled = np.array([[g[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                        for j in range(8)] for i in range(8)])
+    bits = (pooled > pooled.mean()).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def content_hash64(key: str) -> int:
+    """Stable 64-bit content id from a string key (blake2b)."""
+    d = hashlib.blake2b(key.encode(), digest_size=8).digest()
+    v = int.from_bytes(d, "big")
+    return v - (1 << 64) if v >= (1 << 63) else v

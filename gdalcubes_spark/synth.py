@@ -1,0 +1,136 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md §1, BASELINE.json
+input_hint): (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long) plus the companion metadata columns of the
+gdalcubes `images` inventory (image_collection.cpp:76): left, top, bottom,
+right (bbox, EPSG:4326), datetime, epsg.
+
+Every field is a pure function of (i, layout) — any worker or test oracle can
+recompute any image's pixels exactly: v(band, iy, ix) = (a*ix + b*iy + 17*band
++ d) mod 256 with a,b,d derived from i. Generation is distributed
+(spark.range → mapInPandas) so sf scales; a hot-cell fraction pins images to
+tile (0,0,t0) to exercise skew handling (power-law hot cell).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from gdalcubes_spark import codecs
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+    # companion metadata view (bbox always EPSG:4326, like images.proj keeps native)
+    T.StructField("left", T.DoubleType(), False),
+    T.StructField("right", T.DoubleType(), False),
+    T.StructField("bottom", T.DoubleType(), False),
+    T.StructField("top", T.DoubleType(), False),
+    T.StructField("datetime", T.TimestampType(), False),
+    T.StructField("epsg", T.IntegerType(), False),
+])
+
+
+@dataclass(frozen=True)
+class ImageLayout:
+    """Deterministic tile-grid sweep: image i covers tile (tx, ty) at time
+    step tt, cycling x-fastest; a hot fraction lands on tile (0,0,0)."""
+
+    left0: float = 5.0
+    top0: float = 53.0
+    tile_dx: float = 1.0
+    tile_dy: float = 1.0
+    gx: int = 5
+    gy: int = 5
+    ntime: int = 12
+    t0_epoch_day: int = 18628  # 2021-01-01 in days since epoch
+    dt_days: int = 1
+    tile_w: int = 64
+    tile_h: int = 64
+    nb: int = 1
+    fmts: Tuple[str, ...] = ("png", "raw", "jpeg")
+    hot_every: int = 0  # every k-th image pinned to tile (0,0,0); 0 = off
+    overlap: float = 0.0  # fractional bbox enlargement → images overlap neighbours
+
+    def params(self, i: int):
+        hot = self.hot_every > 0 and (i % self.hot_every == 0)
+        if hot:
+            tx = ty = tt = 0
+        else:
+            tx = i % self.gx
+            ty = (i // self.gx) % self.gy
+            tt = (i // (self.gx * self.gy)) % self.ntime
+        a = 1 + (i * 7) % 5
+        b = 1 + (i * 11) % 5
+        d = (i * 13) % 256
+        fmt = self.fmts[i % len(self.fmts)]
+        ex = self.tile_dx * self.overlap
+        ey = self.tile_dy * self.overlap
+        left = self.left0 + tx * self.tile_dx - ex
+        right = left + self.tile_dx + 2 * ex
+        top = self.top0 - ty * self.tile_dy + ey
+        bottom = top - self.tile_dy - 2 * ey
+        epoch = (self.t0_epoch_day + tt * self.dt_days) * 86400
+        return dict(i=i, tx=tx, ty=ty, tt=tt, a=a, b=b, d=d, fmt=fmt,
+                    left=left, right=right, bottom=bottom, top=top, epoch=epoch)
+
+    def pixels(self, i: int) -> np.ndarray:
+        """uint8 (nb, h, w), exactly recomputable anywhere."""
+        p = self.params(i)
+        ix = np.arange(self.tile_w)[None, None, :]
+        iy = np.arange(self.tile_h)[None, :, None]
+        ib = np.arange(self.nb)[:, None, None]
+        return ((p["a"] * ix + p["b"] * iy + 17 * ib + p["d"]) % 256).astype(np.uint8)
+
+    def decoded_pixels(self, i: int) -> np.ndarray:
+        """Pixels after the encode→decode round trip (identical for lossless
+        formats; quantized for the jpeg stub) — the oracle for PSNR checks."""
+        p = self.params(i)
+        a = self.pixels(i)
+        if p["fmt"] == "jpeg":
+            return (np.round(a.astype(np.float64) / codecs.JPEG_QUANT) * codecs.JPEG_QUANT).clip(0, 255).astype(np.uint8)
+        return a
+
+
+def band_names(layout: ImageLayout):
+    return [f"B{i + 1:02d}" for i in range(layout.nb)]
+
+
+def make_row(i: int, layout: ImageLayout) -> dict:
+    p = layout.params(i)
+    a = layout.pixels(i)
+    payload = codecs.encode(a, p["fmt"])
+    return dict(
+        image_id=f"img_{i:012d}",
+        bytes=payload,
+        w=layout.tile_w, h=layout.tile_h, fmt=p["fmt"],
+        caption=f"synthetic scene {i} cell {p['tx']}_{p['ty']}_{p['tt']}",
+        phash=codecs.phash64(a),
+        left=p["left"], right=p["right"], bottom=p["bottom"], top=p["top"],
+        datetime=pd.Timestamp(p["epoch"], unit="s"),
+        epsg=4326,
+    )
+
+
+def generate_images(spark: SparkSession, n: int, layout: ImageLayout = ImageLayout(),
+                    partitions: int = 0) -> DataFrame:
+    parts = partitions or max(1, min(n // 256 + 1, spark.sparkContext.defaultParallelism * 2))
+    base = spark.range(0, n, numPartitions=parts)
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = [make_row(int(i), layout) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields]) if rows else \
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in IMAGE_SCHEMA.fields})
+
+    return base.mapInPandas(gen, IMAGE_SCHEMA)
