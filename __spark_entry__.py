@@ -140,6 +140,49 @@ def _q_filter_geom(spark, sf_dir):
     return r.cells().select("it", "iy", "ix", "band", "value")
 
 
+def _q_aggregate_time(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.aggregate_time(fact=2, method="mean").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_aggregate_space(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.aggregate_space(fact=2, method="max").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_window_time(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.window_time((1, 1), reducer="sum(v)")
+    return r.cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_window_space(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.window_space(reducer="sum(v)", window=(3, 3))
+    return r.cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_fill_time_locf(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.fill_time("locf").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_join_bands(spark, sf_dir):
+    from gdalcubes_spark.cube import Cube
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    c1 = _lineitem_cube(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cells_w = (orders.groupBy((F.col("o_orderkey") % NT).cast("int").alias("it"),
+                              (F.col("o_custkey") % NY).cast("int").alias("iy"),
+                              (F.col("o_orderkey") % NX).cast("int").alias("ix"))
+               .agg(F.count("*").cast("double").alias("value"))
+               .withColumn("band", F.lit("w"))
+               .select("it", "iy", "ix", "band", "value"))
+    c2 = Cube.from_cells(cells_w, c1.view, ["w"], c1.chunking)
+    j = c1.join_bands(c2)
+    return j.cells().select("it", "iy", "ix", "band", "value")
+
+
 def _q_scan_monthly_median(spark, sf_dir):
     """Image-table scan flagship (no SQL oracle — binary decode): synthetic
     image inventory → raster_cube(median) → NDVI-ish expr → reduce_time."""
@@ -172,6 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_select_time": _q_select_time,
         "cube_zonal_stats": _q_zonal_stats,
         "cube_filter_geom": _q_filter_geom,
+        "cube_aggregate_time": _q_aggregate_time,
+        "cube_aggregate_space": _q_aggregate_space,
+        "cube_window_time": _q_window_time,
+        "cube_window_space": _q_window_space,
+        "cube_fill_time_locf": _q_fill_time_locf,
+        "cube_join_bands": _q_join_bands,
         "scan_monthly_median": _q_scan_monthly_median,
     }
 
@@ -235,6 +284,56 @@ def oracle_sql() -> dict[str, str]:
               AND (20 - iy - 0.5) > 2 AND (20 - iy - 0.5) < 18
               AND NOT ((ix + 0.5) > 8 AND (ix + 0.5) < 12
                        AND (20 - iy - 0.5) > 8 AND (20 - iy - 0.5) < 12)
+        """,
+        "cube_aggregate_time": _CELLS_CTE + """
+            SELECT CAST(it // 2 AS INTEGER) AS it, iy, ix, band, AVG(value) AS value
+            FROM cells GROUP BY it // 2, iy, ix, band
+        """,
+        "cube_aggregate_space": _CELLS_CTE + """
+            SELECT it, CAST(iy // 2 AS INTEGER) AS iy, CAST(ix // 2 AS INTEGER) AS ix,
+                   band, MAX(value) AS value
+            FROM cells GROUP BY it, iy // 2, ix // 2, band
+        """,
+        # dense grid so the window frame is calendar-true (missing slices count
+        # as NULL, matching the cube's NaN cells)
+        "cube_window_time": _CELLS_CTE + f"""
+            , grid AS (SELECT DISTINCT iy, ix, band FROM cells),
+            dense AS (
+              SELECT CAST(t.range AS INTEGER) AS it, g.iy, g.ix, g.band, c.value
+              FROM grid g CROSS JOIN range({NT}) t
+              LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
+            )
+            SELECT it, iy, ix, band || '_sum' AS band,
+                   SUM(value) OVER (PARTITION BY iy, ix, dense.band ORDER BY it
+                                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS value
+            FROM dense QUALIFY value IS NOT NULL
+        """,
+        "cube_window_space": _CELLS_CTE + f"""
+            SELECT it, CAST(cy AS INTEGER) AS iy, CAST(cx AS INTEGER) AS ix,
+                   'v_sum' AS band, SUM(value) AS value
+            FROM (SELECT c.it, c.iy + o.dy AS cy, c.ix + o.dx AS cx, c.value
+                  FROM cells c CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dy, dx)) s
+            WHERE cy >= 0 AND cy < {NY} AND cx >= 0 AND cx < {NX}
+            GROUP BY it, cy, cx
+        """,
+        "cube_fill_time_locf": _CELLS_CTE + f"""
+            , grid AS (SELECT DISTINCT iy, ix, band FROM cells),
+            dense AS (
+              SELECT CAST(t.range AS INTEGER) AS it, g.iy, g.ix, g.band, c.value
+              FROM grid g CROSS JOIN range({NT}) t
+              LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
+            )
+            SELECT it, iy, ix, band,
+                   LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY iy, ix, band ORDER BY it
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM dense QUALIFY value IS NOT NULL
+        """,
+        "cube_join_bands": _CELLS_CTE + f"""
+            SELECT it, iy, ix, band, value FROM cells
+            UNION ALL
+            SELECT CAST(o_orderkey % {NT} AS INTEGER), CAST(o_custkey % {NY} AS INTEGER),
+                   CAST(o_orderkey % {NX} AS INTEGER), 'w', CAST(COUNT(*) AS DOUBLE)
+            FROM orders GROUP BY 1, 2, 3
         """,
         # scan_monthly_median: intentionally no oracle (binary image decode is
         # not SQL-expressible); driver records the rows-only check, and the

@@ -316,6 +316,10 @@ class Cube:
         from gdalcubes_spark.operators.stream import chunk_apply
         return chunk_apply(self, fn, names)
 
+    def predict(self, model, output_names=None, keep_bands: bool = False) -> "Cube":
+        from gdalcubes_spark.operators.stream import predict
+        return predict(self, model, output_names, keep_bands)
+
 
 # ---------------------------------------------------------------- sources
 
