@@ -183,6 +183,93 @@ def _q_join_bands(spark, sf_dir):
     return j.cells().select("it", "iy", "ix", "band", "value")
 
 
+# --- training-data pipeline queries (documents / embeddings tables) --------
+
+def _docs_with_clones(spark, sf_dir):
+    """Deterministic near/exact clones so dedup has real work (documents
+    themselves are all unique)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").filter("doc_id < 120")
+    near = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zzzclone")).alias("text"))
+    exact = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return d.unionByName(near).unionByName(exact)
+
+
+_CLONES_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL SELECT doc_id + 100000, text || ' zzzclone' FROM documents WHERE doc_id < 120
+  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 120
+)
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    from gdalcubes_spark.pipeline.text import text_features
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_features(d).select("doc_id", "n_tokens", "stop_ratio", "quality", "lang_pred", "fingerprint")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from gdalcubes_spark.pipeline.dedup import exact_dedup
+    return exact_dedup(_docs_with_clones(spark, sf_dir)).select("doc_id", "n_copies")
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from gdalcubes_spark.pipeline.dedup import jaccard_pairs
+    return jaccard_pairs(_docs_with_clones(spark, sf_dir), threshold=0.5).select("ida", "idb", "jaccard")
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from gdalcubes_spark.pipeline.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs_with_clones(spark, sf_dir), threshold=0.8).select("ida", "idb", "jaccard")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """rows-only: 64-bit xxhash64 SimHash isn't reproducible in DuckDB SQL;
+    pytest validates clone detection instead."""
+    from gdalcubes_spark.pipeline.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs_with_clones(spark, sf_dir), max_hamming=4).select("ida", "idb", "hamming")
+
+
+def _q_ann_topk(spark, sf_dir):
+    from gdalcubes_spark.pipeline.similarity import brute_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    return brute_topk(emb, queries, k=5).select("query_id", "neighbor_id", "sim")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """rows-only: approximate by design; pytest reports recall vs brute."""
+    from gdalcubes_spark.pipeline.similarity import hyperplane_lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16)
+
+
+def _q_knn_tiles(spark, sf_dir):
+    """rows-only: image metadata is synthetic (not a DuckDB view); pytest
+    validates against brute force."""
+    from gdalcubes_spark.pipeline.knn import knn_tiles
+    from gdalcubes_spark.synth import ImageLayout, generate_images
+    lay = ImageLayout(left0=0, top0=8, tile_dx=1.0, tile_dy=1.0, gx=8, gy=8, ntime=1,
+                      tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+    imgs = generate_images(spark, 64, lay).select("image_id", "left", "right", "bottom", "top")
+    pts = spark.createDataFrame([(i, 0.3 + (i * 37 % 80) / 10.0, 0.2 + (i * 53 % 80) / 10.0)
+                                 for i in range(12)], "qid long, x double, y double")
+    return knn_tiles(imgs, pts, k=3, cell=1.0)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """rows-only: binary decode isn't SQL-expressible; pytest oracles pixels."""
+    from gdalcubes_spark.pipeline.multimodal import decode_features
+    from gdalcubes_spark.synth import ImageLayout, generate_images
+    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=3, fmts=("png", "raw", "jpeg"))
+    imgs = generate_images(spark, 48, lay)
+    f = decode_features(imgs, resize=(8, 8))
+    return f.select("image_id", "nb", "h", "w", "ahash")
+
+
 def _q_scan_monthly_median(spark, sf_dir):
     """Image-table scan flagship (no SQL oracle — binary decode): synthetic
     image inventory → raster_cube(median) → NDVI-ish expr → reduce_time."""
@@ -222,6 +309,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_fill_time_locf": _q_fill_time_locf,
         "cube_join_bands": _q_join_bands,
         "scan_monthly_median": _q_scan_monthly_median,
+        "text_stats": _q_text_stats,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "knn_tiles": _q_knn_tiles,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -335,7 +431,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey % {NX} AS INTEGER), 'w', CAST(COUNT(*) AS DOUBLE)
             FROM orders GROUP BY 1, 2, 3
         """,
-        # scan_monthly_median: intentionally no oracle (binary image decode is
-        # not SQL-expressible); driver records the rows-only check, and the
-        # pytest suite verifies the scan against a numpy oracle instead.
+        "text_stats": _text_stats_oracle(),
+        "dedup_exact": "WITH " + _CLONES_SQL + """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM docs GROUP BY md5(lower(trim(text)))
+        """,
+        "dedup_jaccard": "WITH " + _CLONES_SQL + """
+            , toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) tok FROM docs),
+            sizes AS (SELECT doc_id, COUNT(*) sz FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) i
+                      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # LSH oracle = EXACT shingle Jaccard: at threshold 0.8 the 16×4 banding
+        # detects pairs with probability ~0.9986+ and clone pairs are j≈0.95+,
+        # so LSH output equals the exact set deterministically on this data
+        "dedup_minhash_lsh": "WITH " + _CLONES_SQL + """
+            , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
+                   FROM words CROSS JOIN range(0, 400) t(i) WHERE i <= greatest(len(ws)-3, 0)),
+            sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+            WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                       FROM embeddings WHERE vec_id % 100 = 0)
+            SELECT qid AS query_id, vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+            FROM embeddings, q WHERE vec_id <> qid
+            QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id) <= 5
+        """,
+        # rows-only (by design): dedup_simhash (64-bit JVM hashes), ann_lsh
+        # (approximate), knn_tiles + multimodal_features (synthetic binary
+        # inputs) and scan_monthly_median (image decode) — all covered by
+        # numpy/brute-force oracles in tests/.
     }
+
+
+def _text_stats_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import (fingerprint_sql, lang_id_sql, n_tokens_sql,
+                                               quality_sql, stopword_count_sql)
+    c = "text"
+    return f"""
+        SELECT doc_id,
+               {n_tokens_sql(c)} AS n_tokens,
+               ROUND(CAST({stopword_count_sql(c)} AS DOUBLE) / {n_tokens_sql(c)}, 6) AS stop_ratio,
+               {quality_sql(c)} AS quality,
+               {lang_id_sql(c)} AS lang_pred,
+               {fingerprint_sql(c)} AS fingerprint
+        FROM documents
+    """

@@ -1,0 +1,189 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
+"sf", plus rows/throughput context}.
+
+Headline = the BASELINE.json metric shape: Sentinel-2-style monthly median
+cube + zonal stats over the synthetic image+caption table, plus the cube
+operator pipeline and the training-data ops (dedup LSH, ANN, text stats).
+
+Scaling evidence (north rule, N vs 4N): tools/scaling_bench.py runs the same
+scan job at two local parallelism levels in separate JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_queries(sf: float):
+    """Each entry: name -> (fn(spark, sf_dir) -> row_count). Sizes scale
+    with sf so sf0.1 runs in minutes and sf0.01 in seconds.
+    SPARK_GRAFT_BENCH_MULT multiplies the image count (used by the scaling
+    bench to make the job compute-dominant over Spark fixed overheads)."""
+    from pyspark.sql import functions as F
+
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
+    n_images = max(192, int(19200 * sf)) * mult   # sf0.1 → 1920 images
+    grid = 8
+    ntime = 12
+
+    def scan_zonal(spark, sf_dir):
+        """THE metric query: image table → monthly median cube → NDVI →
+        reduce_time(median) → zonal stats (tiles + joined rows)."""
+        from gdalcubes_spark.geom import rect_wkt
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.operators.extract_geom import zonal_stats
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0.0, top0=8.0, tile_dx=1.0, tile_dy=1.0, gx=grid, gy=grid,
+                          ntime=ntime, dt_days=31, tile_w=64, tile_h=64, nb=2,
+                          fmts=("png", "raw", "jpeg"), hot_every=13, overlap=0.2)
+        imgs = generate_images(spark, n_images, lay)
+        v = CubeView.create(srs="EPSG:4326", left=0, right=8, bottom=0, top=8,
+                            t0="2021-01-01", t1="2021-12-31", dt="P1M", dx=1.0 / 64, dy=1.0 / 64,
+                            aggregation="median", resampling="bilinear")
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=128, cx=128)
+        cube = raster_cube(imgs, v, band_names(lay), chunking=g)
+        ndvi = cube.apply_pixel("(b02 - b01) / (b02 + b01 + 1)", ["ndvi"])
+        med = ndvi.reduce_time("median(ndvi)", names=["ndvi"])
+        polys = spark.createDataFrame(
+            [(i, rect_wkt((i % 4) * 2 + 0.25, (i // 4) * 2 + 0.25,
+                          (i % 4) * 2 + 1.75, (i // 4) * 2 + 1.75)) for i in range(16)],
+            "fid long, wkt string")
+        med.df.persist()
+        zs = zonal_stats(med, polys, ["mean", "count", "median"], by_time=True)
+        n = zs.count() + med.df.count()
+        med.df.unpersist()
+        return n
+
+    def scan_scaling(spark, sf_dir):
+        """The two-cluster-size scaling job (north rule): compute-dominant —
+        zlib PNG decode + bilinear warp + mean aggregation + transcendental
+        per-pixel math, L2-sized chunks. Bandwidth-light by design: this
+        sandbox is a shared host whose memory bus saturates at ~9× one core
+        across 32 logical CPUs (see BENCH/BASELINE.md), so a bandwidth-bound
+        job measures the HOST ceiling, not the engine's scaling."""
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0.0, top0=8.0, tile_dx=1.0, tile_dy=1.0, gx=grid, gy=grid,
+                          ntime=ntime, dt_days=31, tile_w=64, tile_h=64, nb=2,
+                          fmts=("png",), hot_every=0, overlap=0.0)
+        imgs = generate_images(spark, n_images, lay)
+        v = CubeView.create(srs="EPSG:4326", left=0, right=8, bottom=0, top=8,
+                            t0="2021-01-01", t1="2021-12-31", dt="P1M", dx=1.0 / 64, dy=1.0 / 64,
+                            aggregation="mean", resampling="bilinear")
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=64, cx=64)
+        cube = raster_cube(imgs, v, band_names(lay), chunking=g)
+        idx = cube.apply_pixel(
+            "sin(b01/255*3.14159) * cos(b02/255*3.14159) + log(1 + b01*b02) + sqrt(b01+1) * tanh(b02/128)",
+            ["idx"])
+        r = idx.reduce_time("mean(idx)", "max(idx)")
+        return r.df.count()
+
+    def cube_pipeline(spark, sf_dir):
+        """Cube operator chain over the lineitem-derived cube."""
+        from gdalcubes_spark.cube import Cube
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        NT_, NY_, NX_ = 24, 100, 100
+        cells = (li.groupBy((F.col("l_orderkey") % NT_).cast("int").alias("it"),
+                            (F.col("l_partkey") % NY_).cast("int").alias("iy"),
+                            (F.col("l_suppkey") % NX_).cast("int").alias("ix"))
+                 .agg(F.sum("l_quantity").cast("double").alias("value"))
+                 .withColumn("band", F.lit("v")).select("it", "iy", "ix", "band", "value"))
+        view = CubeView.create(srs="EPSG:4326", left=0, right=NX_, bottom=0, top=NY_,
+                               t0="2021-01-01", t1="2021-01-24", dt="P1D", dx=1.0, dy=1.0)
+        g = ChunkGrid(nt=NT_, ny=NY_, nx=NX_, ct=4, cy=50, cx=50)
+        c = Cube.from_cells(cells, view, ["v"], g)
+        r = (c.fill_time("locf")
+             .window_space(reducer="mean(v)", window=(3, 3))
+             .aggregate_time(fact=4, method="mean")
+             .reduce_time("mean(v_mean)", "max(v_mean)"))
+        return r.cells().count()
+
+    def dedup_lsh(spark, sf_dir):
+        from gdalcubes_spark.pipeline.dedup import minhash_lsh_pairs
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        near = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+        return minhash_lsh_pairs(d.unionByName(near), threshold=0.7).count()
+
+    def ann_topk(spark, sf_dir):
+        from gdalcubes_spark.pipeline.similarity import brute_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter("vec_id % 20 = 0")
+        return brute_topk(emb, q, k=10).count()
+
+    def text_stats(spark, sf_dir):
+        from gdalcubes_spark.pipeline.text import text_features
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return text_features(d).groupBy("lang_pred").count().count()
+
+    return {
+        "scan_zonal": scan_zonal,
+        "scan_scaling": scan_scaling,
+        "cube_pipeline": cube_pipeline,
+        "dedup_lsh": dedup_lsh,
+        "ann_topk": ann_topk,
+        "text_stats": text_stats,
+    }
+
+
+def run(sf_dir: str, cores: int, queries=None):
+    from gdalcubes_spark.session import get_spark
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM and the python worker daemons (incl. pandas/numpy
+    # imports in every worker) so fixed startup cost isn't measured
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    def _noop(batches):
+        import numpy  # noqa: F401 — pre-import in workers
+        for b in batches:
+            yield b
+
+    spark.range(0, cores * 4, numPartitions=cores * 4).mapInPandas(
+        _noop, "id long").selectExpr("count(*)").collect()
+    qs = make_queries(sf)
+    if queries:
+        unknown = set(queries) - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}; have {sorted(qs)}")
+        qs = {k: v for k, v in qs.items() if k in queries}
+    times, rows = {}, {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        rows[name] = int(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    total = round(sum(times.values()), 3)
+    total_rows = sum(rows.values())
+    return {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "rows": rows,
+        "rows_total": total_rows,
+        "throughput_rows_per_sec": round(total_rows / max(total, 1e-9), 1),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = sys.argv[1:] or None
+    print(json.dumps(run(sf_dir, cores, only)))

@@ -1,0 +1,169 @@
+"""Deduplication for web-scale corpora: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — all pure DataFrame/SQL plans (Catalyst-optimized, no Python in the
+hot path except nothing at all: even the hashes are JVM xxhash64).
+
+Scale design:
+- exact: hash-groupBy on a fingerprint — one shuffle on md5 keys.
+- jaccard_pairs: token explode → equi-join on token → pair-count groupBy.
+  The token join is the classic inverted-index self-join; hot tokens are the
+  skew risk → stopword-ish tokens can be dropped via a document-frequency
+  cap (df_cap) computed in the same plan.
+- minhash_lsh: shingle → 64 minhashes (single explode + 64 min() aggs, one
+  pass) → 16 bands of 4 → bucket equi-join → exact-Jaccard verification of
+  candidates only. Turns the O(n²) similarity join into an equi-join.
+- simhash: 64-bit sign-of-weighted-bit-sums; banded Hamming buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdalcubes_spark.pipeline.text import fingerprint_sql
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical (normalized) text. Returns the
+    surviving rows' ids + group size."""
+    return (df.withColumn("_fp", F.expr(fingerprint_sql(text_col)))
+            .groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+            .drop("_fp"))
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
+                  text_col: str = "text", df_cap: int = 0) -> DataFrame:
+    """Exact word-set Jaccard over all pairs sharing ≥1 token.
+    df_cap > 0 drops tokens appearing in more than df_cap docs (stopword/skew
+    guard — at corpus scale the hot-token join is the bottleneck)."""
+    toks = _tokens(df, id_col, text_col)
+    if df_cap > 0:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= df_cap).select("tok")
+        toks = toks.join(F.broadcast(rare), "tok")
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.select(F.col(id_col).alias("ida"), "tok")
+    b = toks.select(F.col(id_col).alias("idb"), "tok")
+    inter = (a.join(b, "tok").filter(F.col("ida") < F.col("idb"))
+             .groupBy("ida", "idb").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("idb"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "ida").join(sb, "idb")
+            .withColumn("jaccard", F.round(F.col("inter")
+                                           / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("ida", "idb", "jaccard"))
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles as strings (distinct per doc)."""
+    words = F.split(F.lower(F.col(text_col)), " +")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return df.select(id_col, F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """One explode + n_hashes min() aggregations = single-pass signatures.
+    Hash family: xxhash64(shingle, seed_i) — JVM-side, deterministic."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate generation via banded minhash buckets, then EXACT shingle-
+    Jaccard verification of candidates only. With 16×4 the detection
+    probability at j=0.6 is ~0.88, at j=0.8 ~0.9986 — tune bands/rows per
+    target threshold."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    band_cols = [F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
+                 for b in range(bands)]
+    banded = sig.select(id_col, *band_cols)
+    bucket = banded.select(id_col, F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key")) for b in range(bands)
+    ])).alias("bk")).select(id_col, "bk.band", "bk.key")
+    l = bucket.select(F.col(id_col).alias("ida"), "band", "key")
+    r = bucket.select(F.col(id_col).alias("idb"), "band", "key")
+    cand = (l.join(r, ["band", "key"]).filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb").distinct())
+    # exact verification on candidates only
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("idb"), "shingle")
+    inter = (cand.join(a, "ida").join(b, ["idb", "shingle"])
+             .groupBy("ida", "idb").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("idb"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "ida").join(sb, "idb")
+            .withColumn("jaccard", F.round(F.col("inter")
+                                           / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("ida", "idb", "jaccard"))
+
+
+def jaccard_pairs_shingles_exact(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
+                                 text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard over pairs sharing ≥1 shingle — the ground
+    truth the LSH path is validated against (same shingle definition)."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("idb"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("ida") < F.col("idb"))
+             .groupBy("ida", "idb").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("idb"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "ida").join(sb, "idb")
+            .withColumn("jaccard", F.round(F.col("inter")
+                                           / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("ida", "idb", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash: sign of per-bit weighted sums of token hashes —
+    entirely JVM aggregations (64 conditional sums in one groupBy pass)."""
+    toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = F.xxhash64("tok")
+    aggs = [F.sum(F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias(f"s{i}")
+            for i in range(bits)]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"s{i}") > 0, F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(0)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band buckets (pigeonhole: hamming
+    ≤ 3 ⇒ at least one band identical) → candidate equi-join → exact Hamming
+    filter via bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    bands = [(F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(f"p{b}")
+             for b in range(4)]
+    s = sig.select(id_col, "simhash", *bands)
+    pairs = None
+    for b in range(4):
+        l = s.select(F.col(id_col).alias("ida"), F.col("simhash").alias("sha"), F.col(f"p{b}").alias("k"))
+        r = s.select(F.col(id_col).alias("idb"), F.col("simhash").alias("shb"), F.col(f"p{b}").alias("k"))
+        c = l.join(r, "k").filter(F.col("ida") < F.col("idb")).select("ida", "idb", "sha", "shb")
+        pairs = c if pairs is None else pairs.unionByName(c)
+    return (pairs.distinct()
+            .withColumn("hamming", F.expr("bit_count(sha ^ shb)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("ida", "idb", "hamming"))

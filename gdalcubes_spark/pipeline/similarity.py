@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_topk: exact cosine top-k. Scale shape: broadcast the query matrix,
+  compute per-partition LOCAL top-k with one numpy matmul per Arrow batch
+  (float64 accumulate), then a tiny global top-k window — shuffle carries
+  only n_queries × k rows per partition, never the full similarity matrix.
+- hyperplane_lsh_topk: random-hyperplane sign buckets (deterministic seed)
+  turn the scan into a bucket equi-join; exact cosine re-rank on candidates.
+  The scale path when the corpus no longer fits a full scan per query batch.
+- IVF-style variant: kmeans-lite coarse centroids (fixed seed, few Lloyd
+  iterations on a sample) → probe nearest centroids only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("neighbor_id", T.LongType(), False),
+    T.StructField("sim", T.DoubleType(), False),
+])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = True) -> DataFrame:
+    """queries: DataFrame(id_col, vec_col). Returns (query_id, neighbor_id,
+    sim) with exactly the global top-k per query (cosine, float64)."""
+    q = queries.select(id_col, vec_col).toPandas()
+    qids = q[id_col].to_numpy()
+    Q = _norm_rows(np.stack(q[vec_col].to_numpy()).astype("float64"))
+
+    def local_topk(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            S = Q @ E.T  # (nq, nbatch)
+            if exclude_self:
+                for qi, qid in enumerate(qids):
+                    S[qi, ids == qid] = -np.inf
+            kk = min(k, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = dict(query_id=np.repeat(qids, kk),
+                        neighbor_id=ids[top.ravel()],
+                        sim=np.take_along_axis(S, top, axis=1).ravel())
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["sim"])]
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(local_topk, _PAIR_SCHEMA)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
+
+
+def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                        n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: sign-pattern buckets over n_tables independent
+    hyperplane sets; union of bucket-mates = candidates; exact cosine re-rank.
+    Recall grows with n_tables; report it against brute_topk in tests."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    sig_schema = T.StructType([
+        T.StructField("vid", T.LongType(), False),
+        T.StructField("table", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ])
+
+    def signatures(batches: Iterable[pd.DataFrame]):
+        pw = (1 << np.arange(n_planes)).astype("int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({f.name: pd.Series(dtype="int64") for f in sig_schema.fields})
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            frames = []
+            for t in range(n_tables):
+                bits = (E @ planes[t].T) > 0
+                bucket = bits @ pw
+                frames.append(pd.DataFrame(dict(vid=ids, table=t, bucket=bucket)))
+            yield pd.concat(frames, ignore_index=True)
+
+    sigs = embeddings.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
+    qsigs = queries.select(id_col, vec_col).mapInPandas(signatures, sig_schema) \
+        .withColumnRenamed("vid", "qid")
+    cand = (qsigs.join(sigs, ["table", "bucket"])
+            .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id")).distinct())
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # exact re-rank of candidates
+    e1 = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    e2 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dot = F.aggregate(F.zip_with("ev", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+                                       F.lit(0.0), lambda acc, x: acc + x))
+    scored = (cand.join(e1, "neighbor_id").join(e2, "query_id")
+              .withColumn("sim", dot / (nrm("ev") * nrm("qv"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, iters: int = 5, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True, sample_rows: int = 4096) -> DataFrame:
+    """IVF-flat ANN: coarse centroids from a seeded Lloyd's run on a sample
+    (driver-side, tiny), assignments as a column, probe the n_probe nearest
+    lists per query. The classic billion-scale layout (partition-by-centroid
+    ⇒ partition pruning does the candidate cut)."""
+    sample = embeddings.select(vec_col).limit(sample_rows).toPandas()
+    X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        C = _norm_rows(C)
+
+    assign_schema = T.StructType([T.StructField("vid", T.LongType(), False),
+                                  T.StructField("centroid", T.IntegerType(), False)])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(dict(vid=pd.Series(dtype="int64"), centroid=pd.Series(dtype="int32")))
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            yield pd.DataFrame(dict(vid=ids, centroid=np.argmax(E @ C.T, axis=1).astype("int32")))
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    probe_schema = T.StructType([T.StructField("qid", T.LongType(), False),
+                                 T.StructField("centroid", T.IntegerType(), False)])
+
+    def probes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(dict(qid=pd.Series(dtype="int64"), centroid=pd.Series(dtype="int32")))
+                continue
+            ids = pdf[id_col].to_numpy()
+            Qm = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            order = np.argsort(-(Qm @ C.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(dict(qid=np.repeat(ids, order.shape[1]),
+                                    centroid=order.ravel().astype("int32")))
+
+    qprobe = queries.select(id_col, vec_col).mapInPandas(probes, probe_schema)
+    cand = (qprobe.join(assigned, "centroid")
+            .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id")).distinct())
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    e1 = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    e2 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dot = F.aggregate(F.zip_with("ev", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+                                       F.lit(0.0), lambda acc, x: acc + x))
+    scored = (cand.join(e1, "neighbor_id").join(e2, "query_id")
+              .withColumn("sim", dot / (nrm("ev") * nrm("qv"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))

@@ -1,0 +1,122 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language ID (marker-word heuristic), document fingerprints.
+
+Everything in this module is expressed as ENGINE-AGNOSTIC SQL built from
+length/replace/lower/md5 only, so the exact same expression string runs
+through Catalyst (F.expr) and through the DuckDB oracle — predictions are
+bit-identical by construction. A faster/looser variant would use regexp
+functions; these are deliberately portable.
+
+All operations are JVM-side column expressions — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker lexicons for the language-ID heuristic (word-boundary counts);
+# the heuristic is the deliverable — a deterministic, cheap, SQL-native
+# classifier of the kind used for corpus bucketing before expensive model LID
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "die", "ist"),
+    "fr": ("le", "et", "la", "est"),
+    "es": ("el", "y", "la", "es"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "is", "to", "in")
+
+
+def occurrences_sql(col: str, word: str) -> str:
+    """Count word-boundary occurrences of `word` via the length/replace trick
+    (portable across engines; text is space-tokenized). Spaces are doubled
+    first so adjacent occurrences don't share a boundary space (replace is
+    non-overlapping)."""
+    padded = f"(' ' || replace(lower({col}), ' ', '  ') || ' ')"
+    target = f"' {word} '"
+    return (f"CAST((length({padded}) - length(replace({padded}, {target}, '')))"
+            f" / {len(word) + 2} AS BIGINT)")
+
+
+def n_tokens_sql(col: str) -> str:
+    return f"(length(trim({col})) - length(replace(trim({col}), ' ', '')) + 1)"
+
+
+def stopword_count_sql(col: str) -> str:
+    return "(" + " + ".join(occurrences_sql(col, w) for w in STOPWORDS) + ")"
+
+
+def quality_sql(col: str) -> str:
+    """Quality score in [0,1]-ish: length prior × stopword-ratio prior —
+    the shape of heuristic quality filters for web-scale corpora."""
+    nt = n_tokens_sql(col)
+    sw = stopword_count_sql(col)
+    return (f"round( (CASE WHEN {nt} BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)"
+            f" * (0.5 + least(CAST({sw} AS DOUBLE) / {nt}, 0.25) * 2), 6)")
+
+
+def lang_id_sql(col: str) -> str:
+    scores = {lang: "(" + " + ".join(occurrences_sql(col, w) for w in ws) + ")"
+              for lang, ws in LANG_MARKERS.items()}
+    # deterministic argmax with fixed tie order en > de > fr > es
+    e, d, f_, s = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (f"(CASE WHEN {e} >= {d} AND {e} >= {f_} AND {e} >= {s} THEN 'en' "
+            f"WHEN {d} >= {f_} AND {d} >= {s} THEN 'de' "
+            f"WHEN {f_} >= {s} THEN 'fr' ELSE 'es' END)")
+
+
+def fingerprint_sql(col: str) -> str:
+    """Whitespace-normalized content fingerprint (md5 hex) — the exact-dedup
+    key for corpus-scale hash-groupBy."""
+    return f"md5(lower(trim({col})))"
+
+
+def text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach token count, stopword ratio, quality score, language guess and
+    fingerprint — all whole-stage-codegen column expressions."""
+    return (df.withColumn("n_tokens", F.expr(n_tokens_sql(col)))
+            .withColumn("stop_ratio", F.round(F.expr(stopword_count_sql(col)).cast("double")
+                                              / F.expr(n_tokens_sql(col)), 6))
+            .withColumn("quality", F.expr(quality_sql(col)))
+            .withColumn("lang_pred", F.expr(lang_id_sql(col)))
+            .withColumn("fingerprint", F.expr(fingerprint_sql(col))))
+
+
+def rolling_fingerprints(df: DataFrame, col: str = "text", window: int = 8, keep: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprints: polynomial rolling hash over
+    word windows, keep the `keep` smallest per doc (robust to local edits —
+    the near-dup index key). Arrow-vectorized; returns (doc_id, fp)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
+                           T.StructField("fp", T.LongType(), False)])
+    B, M = 1000003, (1 << 61) - 1
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for _, row in pdf.iterrows():
+                words = str(row[col]).lower().split()
+                if len(words) < window:
+                    hs = [hash_words(words)]
+                else:
+                    hs = [hash_words(words[i:i + window]) for i in range(len(words) - window + 1)]
+                hs = sorted(set(hs))[:keep]
+                out_ids.extend([int(row["doc_id"])] * len(hs))
+                out_fps.extend(hs)
+            yield pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64"),
+                                "fp": pd.Series(out_fps, dtype="int64")})
+
+    def hash_words(ws):
+        h = 0
+        for w in ws:
+            hw = 0
+            for ch in w:
+                hw = (hw * B + ord(ch)) % M
+            h = (h * B + hw) % M
+        return h - (M // 2)  # center into signed range
+
+    return df.select("doc_id", col).mapInPandas(gen, schema)

@@ -105,37 +105,81 @@ def _bbox_in_view_srs(images: DataFrame, view: CubeView) -> DataFrame:
             .drop("_v"))
 
 
-def _sample_image(payload, fmt, bbox4326, img_epsg, xs, ys, view_epsg, resampling, nb_expected):
-    """Decode one image and sample it at the cube cell centers (xs: (nx,),
-    ys: (ny,), view SRS) → float64 (nb, ny, nx) with NaN outside.
-    nearest/bilinear mirror the gdalwarp algorithms the reference selects
-    (warp.cpp:178-196)."""
+def _sample_image(payload, fmt, bbox4326, img_epsg, xs, ys, view_epsg, resampling,
+                  nb_expected, vbbox):
+    """Decode one image and sample it at cube cell centers — but ONLY over the
+    sub-window of the chunk the image's bbox covers (vbbox = bbox in view
+    SRS). Cost is O(covered cells), not O(chunk cells): at scale most images
+    cover a small fraction of a chunk.
+
+    Returns (vals (nb, hy, wx) float64 with NaN where outside the image,
+    y_off, x_off) or None when the image misses the chunk entirely.
+    nearest/bilinear mirror the gdalwarp algorithms (warp.cpp:178-196);
+    the identity-SRS path uses separable 1-D pixel indexing (no meshgrid)."""
+    vl, vr, vb, vt = vbbox
+    # sub-window of chunk cells whose centers can fall inside the image bbox
+    xi = np.nonzero((xs >= vl) & (xs <= vr))[0]
+    yi = np.nonzero((ys >= vb) & (ys <= vt))[0]
+    if len(xi) == 0 or len(yi) == 0:
+        return None
+    x_off, y_off = int(xi[0]), int(yi[0])
+    sxs, sys_ = xs[xi[0]: xi[-1] + 1], ys[yi[0]: yi[-1] + 1]
+
     arr = codecs.decode(bytes(payload), fmt)  # (nb, h, w) uint8
     nb, h, w = arr.shape
     if nb != nb_expected:
         raise ValueError(f"image has {nb} bands, collection declares {nb_expected}")
     il, ir, ib_, it_ = bbox4326
-    # cell centers in image SRS (images' pixel grid lives in their native SRS;
-    # synthetic fixtures store native == 4326, bbox == native bbox)
-    tr = Transformer(view_epsg, img_epsg)
-    X, Y = np.meshgrid(xs, ys)  # (ny, nx)
-    Xi, Yi = tr.transform(X, Y)
     pdx = (ir - il) / w
     pdy = (it_ - ib_) / h
-    fx = (Xi - il) / pdx  # continuous pixel coords, 0..w
+    tr = Transformer(view_epsg, img_epsg)
+    separable = tr.src == tr.dst
+    if separable:
+        fx = (sxs - il) / pdx          # (wx,) continuous pixel coords
+        fy = (it_ - sys_) / pdy        # (hy,)
+        in_x = (fx >= 0) & (fx < w)
+        in_y = (fy >= 0) & (fy < h)
+        if resampling in ("near", "nearest"):
+            px = np.clip(fx.astype(np.int64), 0, w - 1)
+            py = np.clip(fy.astype(np.int64), 0, h - 1)
+            vals = arr[:, py[:, None], px[None, :]].astype("float64")
+            vals[:, ~in_y, :] = np.nan
+            vals[:, :, ~in_x] = np.nan
+            return vals, y_off, x_off
+        if resampling == "bilinear":
+            u, v = fx - 0.5, fy - 0.5
+            x0 = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
+            y0 = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
+            x1 = np.clip(x0 + 1, 0, w - 1)
+            y1 = np.clip(y0 + 1, 0, h - 1)
+            wx = np.clip(u - np.floor(u), 0.0, 1.0)[None, None, :]
+            wy = np.clip(v - np.floor(v), 0.0, 1.0)[None, :, None]
+            a00 = arr[:, y0[:, None], x0[None, :]].astype("float64")
+            a01 = arr[:, y0[:, None], x1[None, :]].astype("float64")
+            a10 = arr[:, y1[:, None], x0[None, :]].astype("float64")
+            a11 = arr[:, y1[:, None], x1[None, :]].astype("float64")
+            vals = (a00 * (1 - wx) * (1 - wy) + a01 * wx * (1 - wy)
+                    + a10 * (1 - wx) * wy + a11 * wx * wy)
+            vals[:, ~in_y, :] = np.nan
+            vals[:, :, ~in_x] = np.nan
+            return vals, y_off, x_off
+        raise ValueError(f"unsupported resampling {resampling!r}")
+    # reprojection path: transform the sub-window's cell centers (2-D)
+    X, Y = np.meshgrid(sxs, sys_)
+    Xi, Yi = tr.transform(X, Y)
+    fx = (Xi - il) / pdx
     fy = (it_ - Yi) / pdy
-    out = np.full((nb, len(ys), len(xs)), np.nan)
+    out = np.full((nb, len(sys_), len(sxs)), np.nan)
     inside = (fx >= 0) & (fx < w) & (fy >= 0) & (fy < h)
     if not inside.any():
-        return out
+        return None
     if resampling in ("near", "nearest"):
         px = np.clip(fx.astype(np.int64), 0, w - 1)
         py = np.clip(fy.astype(np.int64), 0, h - 1)
-        vals = arr[:, py, px].astype("float64")  # (nb, ny, nx)
+        vals = arr[:, py, px].astype("float64")
         out[:, inside] = vals[:, inside]
     elif resampling == "bilinear":
-        u = fx - 0.5
-        v = fy - 0.5
+        u, v = fx - 0.5, fy - 0.5
         x0 = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
         y0 = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
         x1 = np.clip(x0 + 1, 0, w - 1)
@@ -151,7 +195,7 @@ def _sample_image(payload, fmt, bbox4326, img_epsg, xs, ys, view_epsg, resamplin
         out[:, inside] = vals[:, inside]
     else:
         raise ValueError(f"unsupported resampling {resampling!r}")
-    return out
+    return out, y_off, x_off
 
 
 class _AggState:
@@ -168,9 +212,10 @@ class _AggState:
         elif method in ("count_images", "count_values"):
             self.acc = np.full(shape, np.nan)
 
-    def update(self, vals: np.ndarray, lt: int):
-        """vals: (nb, ny, nx) float64 with NaN where image doesn't cover."""
-        a = self.acc[:, lt]
+    def update(self, vals: np.ndarray, lt: int, y0: int = 0, x0: int = 0):
+        """vals: (nb, hy, wx) sub-window at (y0, x0); NaN where uncovered."""
+        hy, wx = vals.shape[1], vals.shape[2]
+        a = self.acc[:, lt, y0 : y0 + hy, x0 : x0 + wx]
         ok = ~np.isnan(vals)
         m = self.method
         if m == "none":
@@ -181,9 +226,9 @@ class _AggState:
         elif m == "last":
             a[ok] = vals[ok]
         elif m == "min":
-            self.acc[:, lt] = np.fmin(a, vals)
+            a[...] = np.fmin(a, vals)
         elif m == "max":
-            self.acc[:, lt] = np.fmax(a, vals)
+            a[...] = np.fmax(a, vals)
         elif m == "sum":
             first = ok & np.isnan(a)
             a[first] = 0.0
@@ -192,16 +237,22 @@ class _AggState:
             first = ok & np.isnan(a)
             a[first] = 0.0
             a[ok] += vals[ok]
-            self.count[:, lt][ok] += 1
+            self.count[:, lt, y0 : y0 + hy, x0 : x0 + wx][ok] += 1
         elif m == "median":
-            self.buckets.setdefault(lt, []).append(vals)
+            # keep (vals, window) — stacked once per slice at finalize into a
+            # single bounding-box buffer (per-image full-plane np.full() was a
+            # memory-bandwidth killer that destroyed multi-core scaling)
+            self.buckets.setdefault(lt, []).append((vals, y0, x0))
         elif m == "count_images":
-            nanfix = np.isnan(a)
-            a[nanfix] = 0.0
-            a += 1.0
+            # reference counts every image touching the slice, all cells
+            s = self.acc[:, lt]
+            s[np.isnan(s)] = 0.0
+            s += 1.0
         elif m == "count_values":
-            nanfix = np.isnan(a)
-            a[nanfix] = 0.0
+            # like the reference: any image touching the slice zeroes ALL
+            # NaN cells of the slice; only covered non-NaN cells increment
+            s = self.acc[:, lt]
+            s[np.isnan(s)] = 0.0
             a[ok] += 1.0
         else:
             raise ValueError(f"unknown aggregation {m!r}")
@@ -211,12 +262,34 @@ class _AggState:
             with np.errstate(invalid="ignore"):
                 return self.acc / np.maximum(self.count, 1)
         if self.method == "median":
-            for lt, stack in self.buckets.items():
-                v = np.stack(stack, axis=0)
-                allnan = np.all(np.isnan(v), axis=0)
-                with np.errstate(all="ignore"):
-                    med = np.nanmedian(np.where(allnan[None], 0.0, v), axis=0)
-                self.acc[:, lt] = np.where(allnan, np.nan, med)
+            # exact per-cell median without a dense (K × cells) buffer:
+            # gather only real (non-NaN) samples as (cell_id, value) pairs,
+            # one lexsort, segmented median with even-count averaging
+            # (reduce_time.cpp:376-394 tie rule). Memory/traffic ∝ samples,
+            # which is what keeps 32-core scaling alive on dense stacks.
+            nb, _, ny, nx = self.acc.shape
+            plane = ny * nx
+            for lt, items in self.buckets.items():
+                idx_parts, val_parts = [], []
+                for vals, y0, x0 in items:
+                    ok = ~np.isnan(vals)
+                    if not ok.any():
+                        continue
+                    b, yy, xx = np.nonzero(ok)
+                    idx_parts.append(b * plane + (yy + y0) * nx + (xx + x0))
+                    val_parts.append(vals[ok])
+                if not idx_parts:
+                    continue
+                idx = np.concatenate(idx_parts)
+                val = np.concatenate(val_parts)
+                order = np.lexsort((val, idx))
+                idx, val = idx[order], val[order]
+                starts = np.nonzero(np.diff(idx, prepend=-1))[0]
+                counts = np.diff(np.append(starts, len(idx)))
+                lo = starts + (counts - 1) // 2
+                hi = starts + counts // 2
+                med = (val[lo] + val[hi]) / 2.0
+                self.acc[:, lt].reshape(nb * plane)[idx[starts]] = med
         return self.acc
 
 
@@ -254,7 +327,8 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 .withColumn("kt", (F.col("it") / g.ct).cast("long"))
                 .withColumn("chunk_id",
                             F.col("kt") * (g.ncy * g.ncx) + F.col("ky").cast("long") * g.ncx + F.col("kx"))
-                .select("chunk_id", "it", "image_id", "bytes", "fmt", "left", "right", "bottom", "top", "epsg"))
+                .select("chunk_id", "it", "image_id", "bytes", "fmt", "left", "right", "bottom", "top",
+                        "epsg", "vleft", "vright", "vbottom", "vtop"))
 
     vleft, vtop = view.left, view.top
 
@@ -267,17 +341,23 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
         ys = vtop - (np.arange(yy0, yy1) + 0.5) * dy
         st = _AggState(agg, (nb, t1c - t0c, nyc, nxc))
         pdf = pdf.sort_values("image_id")
-        for _, row in pdf.iterrows():
-            lt = int(row["it"]) - t0c
+        c = {k: pdf[k].to_numpy() for k in ("it", "bytes", "fmt", "left", "right", "bottom",
+                                            "top", "epsg", "vleft", "vright", "vbottom", "vtop")}
+        for i in range(len(pdf)):  # plain array indexing — iterrows is ~10× slower
+            lt = int(c["it"][i]) - t0c
             if not (0 <= lt < t1c - t0c):
                 continue
-            vals = _sample_image(row["bytes"], row["fmt"],
-                                 (row["left"], row["right"], row["bottom"], row["top"]),
-                                 int(row["epsg"]), xs, ys, view_epsg, resampling, nb)
+            res = _sample_image(c["bytes"][i], c["fmt"][i],
+                                (c["left"][i], c["right"][i], c["bottom"][i], c["top"][i]),
+                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb,
+                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]))
+            if res is None:
+                continue
+            vals, oy, ox = res
             if mask is not None:
                 bad = mask.apply(vals[mask_idx])
                 vals = np.where(bad[None, ...], np.nan, vals)
-            st.update(vals, lt)
+            st.update(vals, lt, oy, ox)
         t = st.finalize()
         if np.all(np.isnan(t)):
             return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
@@ -326,25 +406,34 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
         st = _AggState(agg, shape)
         ordarr = np.full(shape, np.nan) if agg in ("first", "last") else None
         pdf = pdf.sort_values("image_id")
-        for _, row in pdf.iterrows():
-            lt = int(row["it"]) - t0c
+        c = {k: pdf[k].to_numpy() for k in ("it", "image_id", "bytes", "fmt", "left", "right",
+                                            "bottom", "top", "epsg", "vleft", "vright",
+                                            "vbottom", "vtop")}
+        for i in range(len(pdf)):
+            lt = int(c["it"][i]) - t0c
             if not (0 <= lt < t1c - t0c):
                 continue
-            vals = _sample_image(row["bytes"], row["fmt"],
-                                 (row["left"], row["right"], row["bottom"], row["top"]),
-                                 int(row["epsg"]), xs, ys, view_epsg, resampling, nb)
+            res = _sample_image(c["bytes"][i], c["fmt"][i],
+                                (c["left"][i], c["right"][i], c["bottom"][i], c["top"][i]),
+                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb,
+                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]))
+            if res is None:
+                continue
+            vals, oy, ox = res
             if mask is not None:
                 bad = mask.apply(vals[mask_idx])
                 vals = np.where(bad[None, ...], np.nan, vals)
             if agg in ("first", "last"):
-                o = float(_img_order(str(row["image_id"])))
+                o = float(_img_order(str(c["image_id"][i])))
                 ok = ~np.isnan(vals)
-                a, oa = st.acc[:, lt], ordarr[:, lt]
+                hy, wx = vals.shape[1], vals.shape[2]
+                a = st.acc[:, lt, oy : oy + hy, ox : ox + wx]
+                oa = ordarr[:, lt, oy : oy + hy, ox : ox + wx]
                 w = ok & (np.isnan(oa) if agg == "first" else np.ones_like(ok))
                 a[w] = vals[w]
                 oa[w] = o
             else:
-                st.update(vals, lt)
+                st.update(vals, lt, oy, ox)
         aux = None
         if agg == "mean":
             aux = pack_tensor(st.count)

@@ -1,0 +1,111 @@
+"""Checkpoint/lineage/resume + Structured Streaming + cube persistence."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdalcubes_spark.cube import dummy_cube, read_parquet_cube
+from gdalcubes_spark.grid import ChunkGrid, CubeView
+
+
+def view10():
+    return CubeView.create(srs="EPSG:4326", left=0, right=10, bottom=0, top=10,
+                           t0="2021-01-01", t1="2021-01-06", dt="P1D", dx=1.0, dy=1.0)
+
+
+class TestCheckpoint:
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        from gdalcubes_spark.checkpoint import read_checkpoint, write_checkpoint
+        c = dummy_cube(spark, view10(), 2, 3.0,
+                       chunking=ChunkGrid(nt=6, ny=10, nx=10, ct=2, cy=5, cx=5)).apply_pixel(
+            "ix + iy", ["s"], keep_bands=True)
+        path = str(tmp_path / "ckpt")
+        write_checkpoint(c, path)
+        c2 = read_checkpoint(spark, path)
+        assert c2.bands == c.bands
+        assert np.allclose(np.nan_to_num(c2.collect_array()), np.nan_to_num(c.collect_array()))
+        # lineage + per-partition metrics exist
+        lin = json.load(open(f"{path}/_lineage.json"))
+        assert "plan" in lin and lin["bands"] == ["band1", "band2", "s"]
+        m = spark.read.parquet(f"{path}/metrics")
+        assert m.count() == c.df.count()
+        row = m.first()
+        assert row["n_cells"] > 0 and row["partition_id"] >= 0
+
+    def test_resume_computes_only_missing(self, spark, tmp_path):
+        from gdalcubes_spark.checkpoint import read_checkpoint, resume, write_checkpoint
+        g = ChunkGrid(nt=6, ny=10, nx=10, ct=2, cy=5, cx=5)
+        c = dummy_cube(spark, view10(), 1, 1.0, chunking=g)
+        path = str(tmp_path / "ckpt2")
+        write_checkpoint(c, path)
+        # simulate a lost-executor partial write: delete some chunk rows
+        full = spark.read.parquet(f"{path}/chunks")
+        kept = full.filter(F.col("chunk_id") % 3 != 0)
+        n_dropped = full.count() - kept.count()
+        kept.write.mode("overwrite").parquet(str(tmp_path / "partial"))
+        shutil.rmtree(f"{path}/chunks")
+        shutil.move(str(tmp_path / "partial"), f"{path}/chunks")
+        appended = resume(c, path)
+        assert appended == n_dropped
+        # checkpoint is now complete and correct again
+        c2 = read_checkpoint(spark, path)
+        assert np.allclose(c2.collect_array(), 1.0)
+        # second resume is a no-op
+        assert resume(c, path) == 0
+
+    def test_cube_parquet_roundtrip(self, spark, tmp_path):
+        c = dummy_cube(spark, view10(), 1, 7.0)
+        p = str(tmp_path / "cube_pq")
+        c.write_parquet(p)
+        c2 = read_parquet_cube(spark, p)
+        assert np.allclose(c2.collect_array(), 7.0)
+        assert c2.view.nt == 6
+
+
+class TestStreaming:
+    def test_streaming_cell_counts(self, spark, tmp_path):
+        from gdalcubes_spark.streaming import run_to_memory, streaming_cell_counts, streaming_inventory
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(left0=0, top0=10, tile_dx=2.0, tile_dy=2.0, gx=5, gy=5, ntime=3,
+                          tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+        src = str(tmp_path / "drops")
+        # two "arrival" batches of inventory files
+        generate_images(spark, 30, lay).write.mode("overwrite").parquet(src)
+        generate_images(spark, 75, lay).filter("image_id >= 'img_000000000030'") \
+            .write.mode("append").parquet(src)
+        v = CubeView.create(srs="EPSG:4326", left=0, right=10, bottom=0, top=10,
+                            t0="2021-01-01", t1="2021-01-03", dt="P1D", dx=0.5, dy=0.5)
+        g = ChunkGrid(nt=3, ny=20, nx=20, ct=1, cy=10, cx=10)
+        stream = streaming_inventory(spark, src, max_files_per_trigger=2)
+        assert stream.isStreaming
+        agg = streaming_cell_counts(stream, v, g, watermark="1 hour", window="1 day")
+        run_to_memory(agg, "cellcounts")
+        out = spark.sql("SELECT sum(n_images) AS n FROM cellcounts").first()
+        assert out["n"] == 75  # every arrival counted exactly once
+        per_chunk = spark.sql("SELECT chunk_id, sum(n_images) n FROM cellcounts GROUP BY 1")
+        assert per_chunk.count() > 1  # spread over chunks
+
+    def test_streaming_events_window_matches_batch(self, spark, tmp_path):
+        from gdalcubes_spark.streaming import run_to_memory, streaming_events_window
+        src = str(tmp_path / "events_dir")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+        batch = spark.read.parquet(src)
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        agg = streaming_events_window(stream, watermark="0 seconds", window="1 hour")
+        run_to_memory(agg, "evw")
+        got = spark.sql("SELECT * FROM evw").toPandas()
+        want = (batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+                .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+                ).toPandas()
+        g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+        w = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["n"].to_numpy() == w["n"].to_numpy()).all()

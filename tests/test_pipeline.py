@@ -1,0 +1,191 @@
+"""Training-data pipeline ops: dedup family, similarity search, text
+analysis, multimodal plumbing — checked against brute-force numpy/python
+oracles on the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_clones(spark, docs):
+    """Originals + near-clone (one word appended) + exact clone, deterministic."""
+    base = docs.filter("doc_id < 40")
+    near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" zzzclone")).alias("text"))
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    return base.select("doc_id", "text").unionByName(near).unionByName(exact).cache()
+
+
+class TestText:
+    def test_features_match_python(self, spark, docs):
+        from gdalcubes_spark.pipeline.text import STOPWORDS, text_features
+        got = text_features(docs.filter("doc_id < 20")).select(
+            "doc_id", "text", "n_tokens", "stop_ratio", "fingerprint").toPandas()
+        import hashlib
+        for _, r in got.iterrows():
+            toks = r["text"].split(" ")
+            assert r["n_tokens"] == len(toks)
+            sw = sum(toks.count(w) for w in STOPWORDS)
+            assert abs(r["stop_ratio"] - round(sw / len(toks), 6)) < 1e-9
+            assert r["fingerprint"] == hashlib.md5(r["text"].lower().strip().encode()).hexdigest()
+
+    def test_rolling_fingerprints_detect_clone(self, spark, docs_with_clones):
+        from gdalcubes_spark.pipeline.text import rolling_fingerprints
+        fps = rolling_fingerprints(docs_with_clones, keep=4).toPandas()
+        a = set(fps[fps.doc_id == 5]["fp"])
+        b = set(fps[fps.doc_id == 10005]["fp"])  # near clone: one appended word
+        c = set(fps[fps.doc_id == 6]["fp"])
+        assert len(a & b) >= 3  # clones share most fingerprints
+        assert len(a & c) == 0  # unrelated docs share none
+
+
+class TestDedup:
+    def test_exact(self, spark, docs_with_clones):
+        from gdalcubes_spark.pipeline.dedup import exact_dedup
+        kept = exact_dedup(docs_with_clones).toPandas()
+        # exact clones collapse onto the original id; near clones survive
+        assert len(kept) == 80  # 40 originals(+exact dup) + 40 near clones
+        assert (kept["n_copies"] == 2).sum() == 40
+        assert set(kept[kept.n_copies == 2]["doc_id"]) == set(range(40))
+
+    def test_jaccard_vs_bruteforce(self, spark, docs_with_clones):
+        from gdalcubes_spark.pipeline.dedup import jaccard_pairs
+        got = jaccard_pairs(docs_with_clones, threshold=0.5).toPandas()
+        pdf = docs_with_clones.toPandas()
+        sets = {r.doc_id: set(r.text.lower().split()) for r in pdf.itertuples()}
+        want = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want.add((a, b))
+        assert set(zip(got["ida"], got["idb"])) == want
+        assert len(want) >= 80  # each original pairs with its 2 clones
+
+    def test_minhash_lsh_matches_exact_at_high_threshold(self, spark, docs_with_clones):
+        from gdalcubes_spark.pipeline.dedup import jaccard_pairs_shingles_exact, minhash_lsh_pairs
+        lsh = minhash_lsh_pairs(docs_with_clones, threshold=0.7).toPandas()
+        exact = jaccard_pairs_shingles_exact(docs_with_clones, threshold=0.7).toPandas()
+        assert set(zip(lsh["ida"], lsh["idb"])) == set(zip(exact["ida"], exact["idb"]))
+        assert len(lsh) >= 40  # near/exact clone pairs detected
+
+    def test_simhash_near_pairs(self, spark, docs_with_clones):
+        from gdalcubes_spark.pipeline.dedup import simhash_near_pairs
+        pairs = simhash_near_pairs(docs_with_clones, max_hamming=4).toPandas()
+        got = set(zip(pairs["ida"], pairs["idb"]))
+        # exact clones have identical simhash → hamming 0
+        for d in range(40):
+            assert (d, d + 20000) in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+    def _brute_numpy(self, emb, qids, k):
+        pdf = emb.toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        out = {}
+        for q in qids:
+            qv = E[ids == q][0]
+            sims = E @ qv
+            sims[ids == q] = -np.inf
+            top = np.argsort(-sims, kind="stable")[:k]
+            out[q] = list(ids[top])
+        return out
+
+    def test_brute_topk(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import brute_topk
+        queries = emb.filter("vec_id % 100 = 0")
+        got = brute_topk(emb, queries, k=5).toPandas()
+        qids = [r.vec_id for r in queries.select("vec_id").collect()]
+        want = self._brute_numpy(emb, qids, 5)
+        for q in qids:
+            g = got[got.query_id == q].sort_values("sim", ascending=False)["neighbor_id"].tolist()
+            assert set(g) == set(want[q]), q
+
+    def test_lsh_and_ivf_recall(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import brute_topk, hyperplane_lsh_topk, ivf_topk
+        queries = emb.filter("vec_id % 100 = 0")
+        truth = brute_topk(emb, queries, k=5).toPandas()
+        tset = set(zip(truth["query_id"], truth["neighbor_id"]))
+        # random embeddings have low-sim true neighbors — LSH needs short
+        # codes + many tables here (collision prob (1-θ/π)^planes per table)
+        lsh = hyperplane_lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16).toPandas()
+        lrecall = len(set(zip(lsh["query_id"], lsh["neighbor_id"])) & tset) / len(tset)
+        ivf = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).toPandas()
+        irecall = len(set(zip(ivf["query_id"], ivf["neighbor_id"])) & tset) / len(tset)
+        assert lrecall >= 0.5, lrecall
+        assert irecall >= 0.5, irecall
+
+
+class TestKnnTiles:
+    def test_matches_bruteforce(self, spark):
+        from gdalcubes_spark.pipeline.knn import knn_tiles
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(left0=0, top0=8, tile_dx=1.0, tile_dy=1.0, gx=8, gy=8, ntime=1,
+                          tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+        imgs = generate_images(spark, 64, lay).select("image_id", "left", "right", "bottom", "top").cache()
+        pts = spark.createDataFrame(
+            [(1, 0.4, 7.6), (2, 4.01, 3.99), (3, 7.9, 0.1), (4, 3.5, 3.5)],
+            "qid long, x double, y double")
+        got = knn_tiles(imgs, pts, k=3, cell=1.0).toPandas()
+        # brute force oracle
+        ipdf = imgs.toPandas()
+        for qid, x, y in [(1, 0.4, 7.6), (2, 4.01, 3.99), (3, 7.9, 0.1), (4, 3.5, 3.5)]:
+            cx = (ipdf["left"] + ipdf["right"]) / 2
+            cy = (ipdf["bottom"] + ipdf["top"]) / 2
+            d = np.sqrt((cx - x) ** 2 + (cy - y) ** 2)
+            order = sorted(zip(d.round(9), ipdf["image_id"]))[:3]
+            want = [img for _, img in order]
+            g = got[got.qid == qid].sort_values(["dist", "image_id"])["image_id"].tolist()
+            assert g == want, (qid, g, want)
+
+
+class TestMultimodal:
+    def test_decode_features(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import decode_features
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(gx=2, gy=2, ntime=1, tile_w=16, tile_h=16, nb=2, fmts=("png", "jpeg"))
+        imgs = generate_images(spark, 4, lay)
+        feats = decode_features(imgs, resize=(4, 4)).toPandas().sort_values("image_id")
+        assert len(feats) == 4
+        for i, (_, r) in enumerate(feats.iterrows()):
+            want = lay.decoded_pixels(i).astype("float64")
+            assert (r["nb"], r["h"], r["w"]) == (2, 16, 16)
+            assert np.allclose(r["band_means"], want.mean(axis=(1, 2)))
+            assert len(r["thumb"]) == 2 * 4 * 4
+
+    def test_audio_pcm_and_stub(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import audio_features
+        t = np.arange(1600)
+        pcm = (np.sin(t * 0.1) * 20000).astype("<i2").tobytes()
+        df = spark.createDataFrame([("a", bytearray(pcm))], "clip_id string, pcm binary")
+        r = audio_features(df).toPandas().iloc[0]
+        assert r["n_samples"] == 1600 and 0.3 < r["rms"] < 0.6
+        bad = spark.createDataFrame([("b", bytearray(b"fLaC____"))], "clip_id string, pcm binary")
+        with pytest.raises(Exception, match="STUB|NotImplemented"):
+            audio_features(bad).collect()
+
+    def test_video_frame_sampling(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import sample_frames
+        w, h, n = 4, 4, 25
+        frames = np.concatenate([np.full(w * h, i, dtype=np.uint8) for i in range(n)]).tobytes()
+        df = spark.createDataFrame([("v", bytearray(frames), w, h, n)],
+                                   "video_id string, frames binary, w int, h int, n_frames int")
+        r = sample_frames(df, every_n=10).toPandas().sort_values("frame_idx")
+        assert list(r["frame_idx"]) == [0, 10, 20]
+        assert list(r["frame_mean"]) == [0.0, 10.0, 20.0]

@@ -1,0 +1,58 @@
+"""Two-cluster-size scaling evidence (north rule): run the identical headline
+job at two local parallelism levels (default local[8] vs local[32]) in
+SEPARATE JVMs on the same input, report throughput at both plus scaling
+efficiency = (T_N / T_4N) / (cores_4N / cores_N). Target ≥ 0.8.
+
+Usage: PYTHONPATH=/root/repo python tools/scaling_bench.py [sf_dir] [queries...]
+Writes BENCH/scaling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cores: int, sf_dir: str, queries, mult: int = 1):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cores),
+               SPARK_GRAFT_BENCH_MULT=str(mult), PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"), *queries],
+                         env=env, capture_output=True, text=True, timeout=3000)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queries = sys.argv[2:] or ["scan_scaling"]
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
+    # N vs 4N within the host's physical-core regime: this sandbox advertises
+    # 32 logical CPUs but parallel throughput saturates ~9× one core for
+    # memory-bound work (SMT + shared bus — probes in BENCH/BASELINE.md), so
+    # 8→32 measures the host ceiling, not the engine. 2→8 is the clean pair.
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n4 = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
+    r_n = run_at(n, sf_dir, queries, mult)
+    r_4n = run_at(n4, sf_dir, queries, mult)
+    speedup = r_n["value"] / r_4n["value"]
+    eff = speedup / (n4 / n)
+    result = {
+        "metric": "scaling_efficiency_Nx4",
+        "cores_N": n, "cores_4N": n4,
+        "seconds_N": r_n["value"], "seconds_4N": r_4n["value"],
+        "per_query_N": r_n["queries"], "per_query_4N": r_4n["queries"],
+        "speedup": round(speedup, 3), "efficiency": round(eff, 3),
+        "sf_dir": sf_dir, "queries": queries, "bench_mult": mult,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
