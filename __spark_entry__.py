@@ -270,6 +270,27 @@ def _q_multimodal_features(spark, sf_dir):
     return f.select("image_id", "nb", "h", "w", "ahash")
 
 
+def _q_phash_neardup(spark, sf_dir):
+    """rows-only: visual near-dup via the inventory phash column; pytest
+    validates Hamming semantics on synthetic clones."""
+    from gdalcubes_spark.pipeline.dedup import phash_near_pairs
+    from gdalcubes_spark.synth import ImageLayout, generate_images
+    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=1, fmts=("raw",),
+                      hot_every=5)  # hot images share the tile → identical phash
+    imgs = generate_images(spark, 64, lay)
+    return phash_near_pairs(imgs, max_hamming=4)
+
+
+def _q_events_window(spark, sf_dir):
+    """Windowed event aggregation (the streaming layer's batch-equivalent
+    plan; Structured Streaming variant in gdalcubes_spark.streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
 def _q_scan_monthly_median(spark, sf_dir):
     """Image-table scan flagship (no SQL oracle — binary decode): synthetic
     image inventory → raster_cube(median) → NDVI-ish expr → reduce_time."""
@@ -318,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "knn_tiles": _q_knn_tiles,
         "multimodal_features": _q_multimodal_features,
+        "events_window": _q_events_window,
+        "phash_neardup": _q_phash_neardup,
     }
 
 
@@ -460,6 +483,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida, idb, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
             WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+        """,
+        "events_window": """
+            SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv

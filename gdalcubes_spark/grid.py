@@ -445,18 +445,24 @@ class CubeView:
 
     # ------------------------------------------------------------- serialize
     def to_json(self) -> str:
-        return json.dumps(
-            dict(
-                srs=self.srs, left=self.left, right=self.right, bottom=self.bottom, top=self.top,
-                nx=self.nx, ny=self.ny, t0=self.t0.to_string(), t1=self.t1.to_string(),
-                t0_unit=int(self.t0.unit), t1_unit=int(self.t1.unit), dt=str(self.dt),
-                aggregation=self.aggregation, resampling=self.resampling,
-            )
+        d = dict(
+            srs=self.srs, left=self.left, right=self.right, bottom=self.bottom, top=self.top,
+            nx=self.nx, ny=self.ny, t0=self.t0.to_string(), t1=self.t1.to_string(),
+            t0_unit=int(self.t0.unit), t1_unit=int(self.t1.unit), dt=str(self.dt),
+            aggregation=self.aggregation, resampling=self.resampling,
         )
+        if self.labels is not None:
+            d["labels"] = [l.to_string() for l in self.labels]
+            d["labels_unit"] = int(self.labels[0].unit)
+        return json.dumps(d)
 
     @staticmethod
     def from_json(s: str) -> "CubeView":
         d = json.loads(s)
+        labels = None
+        if d.get("labels"):
+            u = Unit(d["labels_unit"])
+            labels = tuple(Datetime.parse(x).with_unit(u) for x in d["labels"])
         v = CubeView(
             srs=d["srs"], left=d["left"], right=d["right"], bottom=d["bottom"], top=d["top"],
             nx=d["nx"], ny=d["ny"],
@@ -464,6 +470,7 @@ class CubeView:
             t1=Datetime.parse(d["t1"]).with_unit(Unit(d["t1_unit"])),
             dt=Duration.parse(d["dt"]),
             aggregation=d["aggregation"], resampling=d["resampling"],
+            labels=labels,
         )
         return v
 

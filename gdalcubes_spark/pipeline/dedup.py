@@ -148,22 +148,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select(id_col, sig.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit band buckets (pigeonhole: hamming
-    ≤ 3 ⇒ at least one band identical) → candidate equi-join → exact Hamming
-    filter via bit_count(xor)."""
-    sig = simhash(df, id_col, text_col)
-    bands = [(F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(f"p{b}")
+def hash_near_pairs(sig: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs for ANY 64-bit signature column (SimHash, the images
+    table's phash, …): 4×16-bit band buckets (pigeonhole: hamming ≤ 3 ⇒ at
+    least one band identical) → candidate equi-join → exact bit_count(xor)."""
+    bands = [(F.shiftrightunsigned(F.col(hash_col), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(f"p{b}")
              for b in range(4)]
-    s = sig.select(id_col, "simhash", *bands)
+    s = sig.select(F.col(id_col), F.col(hash_col).alias("_sig"), *bands)
     pairs = None
     for b in range(4):
-        l = s.select(F.col(id_col).alias("ida"), F.col("simhash").alias("sha"), F.col(f"p{b}").alias("k"))
-        r = s.select(F.col(id_col).alias("idb"), F.col("simhash").alias("shb"), F.col(f"p{b}").alias("k"))
+        l = s.select(F.col(id_col).alias("ida"), F.col("_sig").alias("sha"), F.col(f"p{b}").alias("k"))
+        r = s.select(F.col(id_col).alias("idb"), F.col("_sig").alias("shb"), F.col(f"p{b}").alias("k"))
         c = l.join(r, "k").filter(F.col("ida") < F.col("idb")).select("ida", "idb", "sha", "shb")
         pairs = c if pairs is None else pairs.unionByName(c)
     return (pairs.distinct()
             .withColumn("hamming", F.expr("bit_count(sha ^ shb)"))
             .filter(F.col("hamming") <= max_hamming)
             .select("ida", "idb", "hamming"))
+
+
+def phash_near_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup via the inventory's phash column (input_hint) — the
+    visual-dedup pass of a training-data pipeline, no decode needed."""
+    return hash_near_pairs(images.select(F.col("image_id").alias("id"), "phash"),
+                           "id", "phash", max_hamming)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup text pairs by SimHash over banded Hamming buckets."""
+    sig = simhash(df, id_col, text_col)
+    return hash_near_pairs(sig, id_col, "simhash", max_hamming)

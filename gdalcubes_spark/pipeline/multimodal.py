@@ -62,6 +62,30 @@ def decode_features(images: DataFrame, resize: Tuple[int, int] = (8, 8)) -> Data
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, schema)
 
 
+def translate_format(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Bulk re-encode of the image collection (image_collection_ops.h:28-36:
+    translate_gtiff/translate_cog analogue) — decode + re-encode in Arrow
+    batches, preserving metadata columns. Lossless for raw/png; the jpeg
+    stub documents the lossy seam."""
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            out = pdf.copy()
+            payloads, fmts = [], []
+            for _, row in pdf.iterrows():
+                a = codecs.decode(bytes(row["bytes"]), row["fmt"])
+                payloads.append(codecs.encode(a, to_fmt))
+                fmts.append(to_fmt)
+            out["bytes"] = payloads
+            out["fmt"] = fmts
+            yield out
+
+    return images.mapInPandas(gen, images.schema)
+
+
 AUDIO_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
     T.StructField("n_samples", T.LongType(), False),

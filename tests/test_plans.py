@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the declarative parts of the engine must let
+Catalyst do its job — predicate pushdown to parquet, partition pruning on
+chunk coords, broadcast of small join sides."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdalcubes_spark.cube import dummy_cube, read_parquet_cube
+from gdalcubes_spark.grid import ChunkGrid, CubeView
+
+
+def view10():
+    return CubeView.create(srs="EPSG:4326", left=0, right=10, bottom=0, top=10,
+                           t0="2021-01-01", t1="2021-01-06", dt="P1D", dx=1.0, dy=1.0)
+
+
+class TestPlans:
+    def test_chunk_filter_pushed_to_parquet(self, spark, tmp_path):
+        # slice_time on a parquet-backed cube: the ct filter must reach the
+        # scan as PushedFilters (partition pruning at the storage layer)
+        c = dummy_cube(spark, view10(), 1, 1.0, chunking=ChunkGrid(nt=6, ny=10, nx=10, ct=2, cy=5, cx=5))
+        p = str(tmp_path / "cube")
+        c.write_parquet(p)
+        c2 = read_parquet_cube(spark, p)
+        s = c2.slice_time(it=3)
+        plan = s.df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "ct" in plan.split("PushedFilters")[1][:200]
+
+    def test_parquet_column_pruning(self, spark):
+        # reading 2 columns of lineitem must not scan all 11 (ReadSchema)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        q = li.select("l_orderkey", "l_quantity").filter(F.col("l_orderkey") % 6 == 0)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+    def test_extract_geom_semi_join_prunes_chunks(self, spark):
+        # the chunk-mask analogue: extract_geom only cogroups chunks that
+        # have candidate features (left-semi join visible in the plan)
+        from gdalcubes_spark.geom import rect_wkt
+        from gdalcubes_spark.operators.extract_geom import extract_geom
+        c = dummy_cube(spark, view10(), 1, 1.0, chunking=ChunkGrid(nt=6, ny=10, nx=10, ct=6, cy=2, cx=2))
+        feats = spark.createDataFrame([(1, rect_wkt(0, 8, 2, 10))], "fid long, wkt string")
+        rows = extract_geom(c, feats)
+        plan = rows._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        # and the result is correct: 4 cells × 6 slices
+        assert rows.count() == 24
+
+    def test_whole_stage_codegen_for_text_features(self, spark):
+        # text analysis must stay JVM-side: no Python UDF nodes in the plan
+        from gdalcubes_spark.pipeline.text import text_features
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = text_features(d)._jdf.queryExecution().executedPlan().toString()
+        assert plan.lstrip().startswith("*(")  # whole-stage codegen marker
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan

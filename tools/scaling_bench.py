@@ -36,15 +36,20 @@ def main():
     # 8→32 measures the host ceiling, not the engine. 2→8 is the clean pair.
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n4 = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
-    r_n = run_at(n, sf_dir, queries, mult)
-    r_4n = run_at(n4, sf_dir, queries, mult)
-    speedup = r_n["value"] / r_4n["value"]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # the sandbox is a shared host with ±20-30% run-to-run variance (probes in
+    # BENCH/BASELINE.md): take min-of-k per level (the standard noise-robust
+    # estimate of true capability) and record every raw sample
+    samples_n = [run_at(n, sf_dir, queries, mult)["value"] for _ in range(repeats)]
+    samples_4n = [run_at(n4, sf_dir, queries, mult)["value"] for _ in range(repeats)]
+    t_n, t_4n = min(samples_n), min(samples_4n)
+    speedup = t_n / t_4n
     eff = speedup / (n4 / n)
     result = {
         "metric": "scaling_efficiency_Nx4",
         "cores_N": n, "cores_4N": n4,
-        "seconds_N": r_n["value"], "seconds_4N": r_4n["value"],
-        "per_query_N": r_n["queries"], "per_query_4N": r_4n["queries"],
+        "seconds_N": t_n, "seconds_4N": t_4n,
+        "samples_N": samples_n, "samples_4N": samples_4n,
         "speedup": round(speedup, 3), "efficiency": round(eff, 3),
         "sf_dir": sf_dir, "queries": queries, "bench_mult": mult,
     }
