@@ -320,6 +320,36 @@ class Cube:
         from gdalcubes_spark.operators.stream import predict
         return predict(self, model, output_names, keep_bands)
 
+    def __getitem__(self, key) -> "Cube":
+        """`cube[bands, t, iy, ix]` selection sugar (R `[.cube`,
+        R/selection.R:82): band name(s), time index/datetime/slice, and
+        pixel index scalars/slices compose select_bands / slice_* / crop."""
+        if not isinstance(key, tuple):
+            key = (key,)
+        bands, t, y, x = (list(key) + [None] * 4)[:4]
+        c = self
+        if bands is not None:
+            c = c.select_bands([bands] if isinstance(bands, str) else list(bands))
+        if isinstance(t, int):
+            c = c.slice_time(it=t)
+        elif isinstance(t, str):
+            c = c.slice_time(t=t)
+        elif isinstance(t, slice) and (t.start is not None or t.stop is not None):
+            c = c.crop(t0=t.start, t1=t.stop)
+        if isinstance(y, int) and isinstance(x, int):
+            c = c.slice_space(iy=y, ix=x)
+        elif isinstance(y, slice) or isinstance(x, slice):
+            v = c.view
+            kw = {}
+            if isinstance(x, slice):
+                kw["left"] = v.left + (x.start or 0) * v.dx
+                kw["right"] = v.left + (x.stop if x.stop is not None else v.nx) * v.dx
+            if isinstance(y, slice):
+                kw["top"] = v.top - (y.start or 0) * v.dy
+                kw["bottom"] = v.top - (y.stop if y.stop is not None else v.ny) * v.dy
+            c = c.crop(**kw)
+        return c
+
 
 # ---------------------------------------------------------------- sources
 

@@ -27,7 +27,15 @@ from gdalcubes_spark.grid import ChunkGrid, CubeView, Datetime
 
 def select_bands(cube: Cube, bands: Sequence[str]) -> Cube:
     bands = list(bands)
+    unknown = [b for b in bands if b not in cube.bands]
+    if unknown:
+        raise ValueError(f"unknown bands {unknown}; cube has {cube.bands}")
     idx = [cube.bands.index(b) for b in bands]
+    # pushdown: selecting bands of a raster_cube re-plans the scan so only
+    # those bands are sampled/aggregated/shuffled (select_bands.h:50-90)
+    rebuild = getattr(cube, "_scan_rebuild", None)
+    if rebuild is not None:
+        return rebuild(bands)
 
     def fn(t: np.ndarray, coords):
         return t[idx]

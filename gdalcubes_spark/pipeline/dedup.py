@@ -86,7 +86,10 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_
     probability at j=0.6 is ~0.88, at j=0.8 ~0.9986 — tune bands/rows per
     target threshold."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # one shingle pass feeds both the signatures and the exact verification
+    sh = _shingles(df, id_col, text_col, shingle_n).persist()
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
     band_cols = [F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
                  for b in range(bands)]
     banded = sig.select(id_col, *band_cols)
@@ -98,7 +101,6 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_
     cand = (l.join(r, ["band", "key"]).filter(F.col("ida") < F.col("idb"))
             .select("ida", "idb").distinct())
     # exact verification on candidates only
-    sh = _shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("ida"), "shingle")
     b = sh.select(F.col(id_col).alias("idb"), "shingle")

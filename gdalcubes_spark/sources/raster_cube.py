@@ -105,8 +105,8 @@ def _bbox_in_view_srs(images: DataFrame, view: CubeView) -> DataFrame:
             .drop("_v"))
 
 
-def _sample_image(payload, fmt, bbox4326, img_epsg, xs, ys, view_epsg, resampling,
-                  nb_expected, vbbox):
+def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resampling,
+                  nb_expected, vbbox, band_idx=None):
     """Decode one image and sample it at cube cell centers — but ONLY over the
     sub-window of the chunk the image's bbox covers (vbbox = bbox in view
     SRS). Cost is O(covered cells), not O(chunk cells): at scale most images
@@ -129,7 +129,10 @@ def _sample_image(payload, fmt, bbox4326, img_epsg, xs, ys, view_epsg, resamplin
     nb, h, w = arr.shape
     if nb != nb_expected:
         raise ValueError(f"image has {nb} bands, collection declares {nb_expected}")
-    il, ir, ib_, it_ = bbox4326
+    if band_idx is not None:  # scan-level band pushdown
+        arr = arr[band_idx]
+        nb = len(band_idx)
+    il, ir, ib_, it_ = native_bbox  # image pixel grid lives in its NATIVE srs
     pdx = (ir - il) / w
     pdy = (it_ - ib_) / h
     tr = Transformer(view_epsg, img_epsg)
@@ -295,15 +298,34 @@ class _AggState:
 
 def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 chunking: Optional[ChunkGrid] = None, mask: Optional[ImageMask] = None,
-                salt: int = 0) -> Cube:
+                salt: int = 0, band_sel: Optional[List[str]] = None) -> Cube:
     """Build a cube from the image inventory DataFrame (synth.IMAGE_SCHEMA).
 
     bands: names for the nb payload bands (the collection band dictionary).
     salt: >0 enables two-phase salted aggregation for hot chunks (only for
-    decomposable aggregation methods)."""
+    decomposable aggregation methods).
+    band_sel: scan-level band pushdown (select_bands on a raster_cube calls
+    back into this, mirroring select_bands.h:50-90 / the SQL band filter at
+    image_collection.cpp:1385-1392): only the selected bands (plus the mask
+    band, if any) are sampled/aggregated/shuffled."""
     g = chunking or default_chunking(view)
     view_epsg = parse_epsg(view.srs)
+    full_bands = list(bands)
+    if band_sel is not None:
+        missing = [b for b in band_sel if b not in bands]
+        if missing:
+            raise ValueError(f"unknown bands {missing}; collection has {bands}")
+        compute = list(band_sel)
+        if mask is not None and mask.band not in compute:
+            compute.append(mask.band)
+        band_idx = [bands.index(b) for b in compute]
+        out_idx = [compute.index(b) for b in band_sel]
+        bands = compute
+    else:
+        band_idx = None
+        out_idx = None
     nb = len(bands)
+    nb_payload = len(full_bands)  # payload band count (validation pre-pushdown)
     agg = view.aggregation
     resampling = view.resampling
     if mask is not None and mask.band not in bands:
@@ -327,7 +349,7 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 .withColumn("kt", (F.col("it") / g.ct).cast("long"))
                 .withColumn("chunk_id",
                             F.col("kt") * (g.ncy * g.ncx) + F.col("ky").cast("long") * g.ncx + F.col("kx"))
-                .select("chunk_id", "it", "image_id", "bytes", "fmt", "left", "right", "bottom", "top",
+                .select("chunk_id", "it", "image_id", "bytes", "fmt", "nleft", "nright", "nbottom", "ntop",
                         "epsg", "vleft", "vright", "vbottom", "vtop"))
 
     vleft, vtop = view.left, view.top
@@ -341,16 +363,17 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
         ys = vtop - (np.arange(yy0, yy1) + 0.5) * dy
         st = _AggState(agg, (nb, t1c - t0c, nyc, nxc))
         pdf = pdf.sort_values("image_id")
-        c = {k: pdf[k].to_numpy() for k in ("it", "bytes", "fmt", "left", "right", "bottom",
-                                            "top", "epsg", "vleft", "vright", "vbottom", "vtop")}
+        c = {k: pdf[k].to_numpy() for k in ("it", "bytes", "fmt", "nleft", "nright", "nbottom",
+                                            "ntop", "epsg", "vleft", "vright", "vbottom", "vtop")}
         for i in range(len(pdf)):  # plain array indexing — iterrows is ~10× slower
             lt = int(c["it"][i]) - t0c
             if not (0 <= lt < t1c - t0c):
                 continue
             res = _sample_image(c["bytes"][i], c["fmt"][i],
-                                (c["left"][i], c["right"][i], c["bottom"][i], c["top"][i]),
-                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb,
-                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]))
+                                (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
+                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
+                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
+                                band_idx)
             if res is None:
                 continue
             vals, oy, ox = res
@@ -359,16 +382,25 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 vals = np.where(bad[None, ...], np.nan, vals)
             st.update(vals, lt, oy, ox)
         t = st.finalize()
+        if out_idx is not None and len(out_idx) != t.shape[0]:
+            t = t[out_idx]  # drop the mask-only band from the output
         if np.all(np.isnan(t)):
             return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=nb, nt=t1c - t0c,
+        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=t.shape[0], nt=t1c - t0c,
                                   ny=nyc, nx=nxc, data=pack_tensor(t))])
 
+    out_bands = list(band_sel) if band_sel is not None else list(bands)
     if salt > 0 and agg in DECOMPOSABLE:
-        return _salted_scan(exploded, view, bands, g, mask, salt, build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg, mask_idx))
-
-    out = exploded.groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA)
-    return Cube(out, view, list(bands), g)
+        cube = _salted_scan(exploded, view, out_bands, g, mask, salt,
+                            build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
+                                       mask_idx, nb_payload, band_idx, out_idx))
+    else:
+        out = exploded.groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA)
+        cube = Cube(out, view, out_bands, g)
+    # select_bands pushdown hook: rebuilding the scan with fewer bands
+    cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
+                                                   mask=mask, salt=salt, band_sel=list(names))
+    return cube
 
 
 def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: ChunkGrid,
@@ -376,7 +408,7 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
     """Two-phase skew-proof scan: partial aggregation per (chunk_id, salt
     bucket of image_id), then merge per chunk_id. Bounds any single task to
     ~|images_in_chunk|/salt decodes (north-rule skew handling)."""
-    vleft, vtop, dx, dy, view_epsg, resampling, nb, agg, mask_idx = build_ctx
+    vleft, vtop, dx, dy, view_epsg, resampling, nb, agg, mask_idx, nb_payload, band_idx, out_idx = build_ctx
 
     from pyspark.sql import types as T
 
@@ -406,17 +438,18 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
         st = _AggState(agg, shape)
         ordarr = np.full(shape, np.nan) if agg in ("first", "last") else None
         pdf = pdf.sort_values("image_id")
-        c = {k: pdf[k].to_numpy() for k in ("it", "image_id", "bytes", "fmt", "left", "right",
-                                            "bottom", "top", "epsg", "vleft", "vright",
+        c = {k: pdf[k].to_numpy() for k in ("it", "image_id", "bytes", "fmt", "nleft", "nright",
+                                            "nbottom", "ntop", "epsg", "vleft", "vright",
                                             "vbottom", "vtop")}
         for i in range(len(pdf)):
             lt = int(c["it"][i]) - t0c
             if not (0 <= lt < t1c - t0c):
                 continue
             res = _sample_image(c["bytes"][i], c["fmt"][i],
-                                (c["left"][i], c["right"][i], c["bottom"][i], c["top"][i]),
-                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb,
-                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]))
+                                (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
+                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
+                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
+                                band_idx)
             if res is None:
                 continue
             vals, oy, ox = res
@@ -477,9 +510,11 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
         if agg == "mean":
             with np.errstate(invalid="ignore"):
                 acc = acc / np.maximum(cnt, 1)
+        if out_idx is not None and len(out_idx) != acc.shape[0]:
+            acc = acc[out_idx]
         if np.all(np.isnan(acc)):
             return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=nb, nt=shape[1],
+        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=acc.shape[0], nt=shape[1],
                                   ny=shape[2], nx=shape[3], data=pack_tensor(acc))])
 
     salted = exploded.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))

@@ -31,13 +31,19 @@ IMAGE_SCHEMA = T.StructType([
     T.StructField("fmt", T.StringType(), False),
     T.StructField("caption", T.StringType(), False),
     T.StructField("phash", T.LongType(), False),
-    # companion metadata view (bbox always EPSG:4326, like images.proj keeps native)
+    # companion metadata view: bbox always EPSG:4326 (image_collection.cpp:76
+    # convention), native SRS in epsg, native-grid bbox in nleft..ntop
+    # (== the 4326 bbox when epsg == 4326)
     T.StructField("left", T.DoubleType(), False),
     T.StructField("right", T.DoubleType(), False),
     T.StructField("bottom", T.DoubleType(), False),
     T.StructField("top", T.DoubleType(), False),
     T.StructField("datetime", T.TimestampType(), False),
     T.StructField("epsg", T.IntegerType(), False),
+    T.StructField("nleft", T.DoubleType(), False),
+    T.StructField("nright", T.DoubleType(), False),
+    T.StructField("nbottom", T.DoubleType(), False),
+    T.StructField("ntop", T.DoubleType(), False),
 ])
 
 
@@ -61,6 +67,8 @@ class ImageLayout:
     fmts: Tuple[str, ...] = ("png", "raw", "jpeg")
     hot_every: int = 0  # every k-th image pinned to tile (0,0,0); 0 = off
     overlap: float = 0.0  # fractional bbox enlargement → images overlap neighbours
+    utm_every: int = 0  # every k-th image stored in native UTM (utm_zone); 0 = all 4326
+    utm_zone: int = 32  # northern-hemisphere zone for the UTM subset
 
     def params(self, i: int):
         hot = self.hot_every > 0 and (i % self.hot_every == 0)
@@ -106,10 +114,26 @@ def band_names(layout: ImageLayout):
     return [f"B{i + 1:02d}" for i in range(layout.nb)]
 
 
+def native_bbox(layout: ImageLayout, i: int):
+    """(epsg, nleft, nright, nbottom, ntop): the pixel grid's bbox in the
+    image's native SRS (UTM for the utm_every subset, else the 4326 bbox)."""
+    import numpy as np
+
+    from gdalcubes_spark.srs import geodetic_to_utm
+    p = layout.params(i)
+    if layout.utm_every and i % layout.utm_every == 0 and not (layout.hot_every and i % layout.hot_every == 0):
+        xs = np.array([p["left"], p["right"], p["left"], p["right"]])
+        ys = np.array([p["bottom"], p["bottom"], p["top"], p["top"]])
+        E, N = geodetic_to_utm(xs, ys, zone=layout.utm_zone)
+        return 32600 + layout.utm_zone, float(E.min()), float(E.max()), float(N.min()), float(N.max())
+    return 4326, p["left"], p["right"], p["bottom"], p["top"]
+
+
 def make_row(i: int, layout: ImageLayout) -> dict:
     p = layout.params(i)
     a = layout.pixels(i)
     payload = codecs.encode(a, p["fmt"])
+    epsg, nl, nr, nb_, nt_ = native_bbox(layout, i)
     return dict(
         image_id=f"img_{i:012d}",
         bytes=payload,
@@ -118,7 +142,7 @@ def make_row(i: int, layout: ImageLayout) -> dict:
         phash=codecs.phash64(a),
         left=p["left"], right=p["right"], bottom=p["bottom"], top=p["top"],
         datetime=pd.Timestamp(p["epoch"], unit="s"),
-        epsg=4326,
+        epsg=epsg, nleft=nl, nright=nr, nbottom=nb_, ntop=nt_,
     )
 
 

@@ -173,3 +173,32 @@ class TestSelection:
         assert a.shape == (1, 28, 5, 5)
         # original global ix values 2..6 survive the crop
         assert np.allclose(a[0, 0, 0], np.arange(2, 7))
+
+
+class TestSelectionSugar:
+    def test_getitem_chunking_invariant(self, spark):
+        # test_selection.R:7-38: pixel (240,240) identical across chunkings
+        v = CubeView.create(srs="EPSG:4326", left=5, right=10, bottom=48, top=53,
+                            t0="2021-01-01", t1="2021-12-31", dt="P1M", dx=0.02, dy=0.02)
+        vals = []
+        for cyx in (67, 160, 256):
+            g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=cyx, cx=cyx)
+            cube = dummy_cube(spark, v, 1, 0.0, chunking=g).apply_pixel(["ix", "iy"], ["ix", "iy"])
+            x = cube[None, None, 240, 240].collect_array()
+            assert np.all(x[0] == 240) and np.all(x[1] == 240), cyx
+            vals.append(x)
+        assert np.allclose(vals[0], vals[1]) and np.allclose(vals[1], vals[2])
+
+    def test_getitem_band_and_time(self, spark):
+        v = daily_view()
+        c = dummy_cube(spark, v, 3, 1.0).apply_pixel("it", ["t"], keep_bands=True)
+        s = c["t", "2021-03-01"]
+        a = s.collect_array()
+        assert a.shape == (1, 1, 10, 10)
+        assert np.allclose(a, 59.0)
+
+    def test_getitem_spatial_slices(self, spark):
+        v = daily_view()
+        c = dummy_cube(spark, v, 1, 1.0)
+        s = c[None, None, slice(2, 8), slice(3, 7)]
+        assert (s.view.ny, s.view.nx) == (6, 4)

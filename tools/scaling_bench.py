@@ -38,10 +38,12 @@ def main():
     n4 = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     # the sandbox is a shared host with ±20-30% run-to-run variance (probes in
-    # BENCH/BASELINE.md): take min-of-k per level (the standard noise-robust
-    # estimate of true capability) and record every raw sample
-    samples_n = [run_at(n, sf_dir, queries, mult)["value"] for _ in range(repeats)]
-    samples_4n = [run_at(n4, sf_dir, queries, mult)["value"] for _ in range(repeats)]
+    # BENCH/BASELINE.md): INTERLEAVE the levels (so background-load drift hits
+    # both equally), take min-of-k per level, record every raw sample
+    samples_n, samples_4n = [], []
+    for _ in range(repeats):
+        samples_n.append(run_at(n, sf_dir, queries, mult)["value"])
+        samples_4n.append(run_at(n4, sf_dir, queries, mult)["value"])
     t_n, t_4n = min(samples_n), min(samples_4n)
     speedup = t_n / t_4n
     eff = speedup / (n4 / n)
