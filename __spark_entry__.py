@@ -386,7 +386,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells WHERE it IN (1, 4)
         """,
         "cube_zonal_stats": _CELLS_CTE + f"""
-            SELECT fid,
+            SELECT CAST(fid AS BIGINT) AS fid,
                    STRFTIME(DATE '2021-01-01' + it * INTERVAL 1 DAY, '%Y-%m-%d') AS time,
                    AVG(value) AS v_mean, COUNT(value) AS v_count,
                    MIN(value) AS v_min, MAX(value) AS v_max
@@ -422,10 +422,12 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g CROSS JOIN range({NT}) t
               LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
             )
-            SELECT it, iy, ix, band || '_sum' AS band,
-                   SUM(value) OVER (PARTITION BY iy, ix, dense.band ORDER BY it
-                                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS value
-            FROM dense QUALIFY value IS NOT NULL
+            SELECT * FROM (
+              SELECT it, iy, ix, band || '_sum' AS band,
+                     SUM(value) OVER (PARTITION BY iy, ix, dense.band ORDER BY it
+                                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS value
+              FROM dense
+            ) WHERE value IS NOT NULL
         """,
         "cube_window_space": _CELLS_CTE + f"""
             SELECT it, CAST(cy AS INTEGER) AS iy, CAST(cx AS INTEGER) AS ix,
@@ -442,10 +444,12 @@ def oracle_sql() -> dict[str, str]:
               FROM grid g CROSS JOIN range({NT}) t
               LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
             )
-            SELECT it, iy, ix, band,
-                   LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY iy, ix, band ORDER BY it
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-            FROM dense QUALIFY value IS NOT NULL
+            SELECT * FROM (
+              SELECT it, iy, ix, dense.band AS band,
+                     LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY iy, ix, dense.band ORDER BY it
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              FROM dense
+            ) WHERE value IS NOT NULL
         """,
         "cube_join_bands": _CELLS_CTE + f"""
             SELECT it, iy, ix, band, value FROM cells

@@ -40,7 +40,8 @@ def occurrences_sql(col: str, word: str) -> str:
 
 
 def n_tokens_sql(col: str) -> str:
-    return f"(length(trim({col})) - length(replace(trim({col}), ' ', '')) + 1)"
+    # CAST keeps Spark (int32 length) and DuckDB (int64 length) schema-equal
+    return f"CAST(length(trim({col})) - length(replace(trim({col}), ' ', '')) + 1 AS BIGINT)"
 
 
 def stopword_count_sql(col: str) -> str:

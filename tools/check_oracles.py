@@ -49,13 +49,19 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        got = fn(spark, sf_dir).toPandas()
+        sdf = fn(spark, sf_dir)
+        got = sdf.toPandas()
         if name not in oracles:
             status = f"rows-only ({len(got)} rows)"
             ok = len(got) >= 0
             print(f"  {name:28s} {'OK' if ok else 'FAIL'}  {status}")
             continue
         want = con.execute(oracles[name]).fetchdf()
+        # STRICT dtype audit (the driver compares schemas): report pre-
+        # normalization dtype differences so Spark/DuckDB widths stay aligned
+        for c in sorted(set(got.columns) & set(want.columns)):
+            if str(got[c].dtype) != str(want[c].dtype):
+                print(f"    dtype! {name}.{c}: spark={got[c].dtype} duckdb={want[c].dtype}")
         g, w = normalize(got), normalize(want)
         ok = True
         msgs = []
