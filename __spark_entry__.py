@@ -36,8 +36,17 @@ WITH cells AS (
 """
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """The driver runs queries in ITS session; timestamp-derived columns
+    (F.window, date_format, F.year in the scan's time index) are
+    session-TZ-dependent while the DuckDB oracles are TZ-naive — pin UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _lineitem_cube(spark: SparkSession, sf_dir: str, chunking=None):
     """Deterministic 6×20×20 cube from lineitem (see module docstring)."""
+    _utc(spark)
     from gdalcubes_spark.cube import Cube
     from gdalcubes_spark.grid import ChunkGrid, CubeView
 
@@ -284,7 +293,7 @@ def _q_phash_neardup(spark, sf_dir):
 def _q_events_window(spark, sf_dir):
     """Windowed event aggregation (the streaming layer's batch-equivalent
     plan; Structured Streaming variant in gdalcubes_spark.streaming)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -301,7 +310,7 @@ def _q_scan_monthly_median(spark, sf_dir):
     lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
                       ntime=4, tile_w=32, tile_h=32, nb=2, fmts=("png", "raw", "jpeg"),
                       hot_every=7, overlap=0.25)
-    imgs = generate_images(spark, 64, lay)
+    imgs = generate_images(_utc(spark), 64, lay)
     v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
                         t0="2021-01-01", t1="2021-01-04", dt="P1D", dx=0.125, dy=0.125,
                         aggregation="median", resampling="near")

@@ -67,10 +67,53 @@ def streaming_events_window(stream: DataFrame, watermark: str = "10 minutes",
                     F.round("sum_value", 6).alias("sum_value")))
 
 
-def run_to_memory(query_df: DataFrame, name: str, timeout_s: int = 120):
+def run_to_memory(query_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to a memory sink with availableNow (process
-    everything currently available, then stop) — the test/backfill trigger."""
+    everything currently available, then stop) — the test/backfill trigger.
+    Waits for NATURAL termination: a bounded awaitTermination can return
+    mid-micro-batch and silently under-report results."""
     q = (query_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
     return q
+
+
+def streaming_dedup(stream: DataFrame, key_expr: str = "md5(lower(trim(text)))",
+                    id_col: str = "doc_id", timeout_minutes: int = 0) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exactly-once
+    streaming deduplication — emit only the FIRST record per content key,
+    keeping a per-key seen flag in Spark state. The streaming half of the
+    batch exact_dedup (pipeline/dedup.py); state is partitioned by key so it
+    scales horizontally with executors."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.withColumn("_k", F.expr(key_expr))
+    out_schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField(id_col, T.LongType(), False),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType(), False)])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # already emitted for this key — swallow everything
+            for _ in pdf_iter:
+                pass
+            return iter(())
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = int(pdf[id_col].min())
+            elif len(pdf):
+                first = min(first, int(pdf[id_col].min()))
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame({"k": [key[0]], id_col: [first]})])
+
+    return (keyed.groupBy("_k")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -109,3 +109,27 @@ class TestStreaming:
         w = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
         assert len(g) == len(w)
         assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
+
+    def test_streaming_stateful_dedup(self, spark, tmp_path):
+        """applyInPandasWithState custom operator: first-occurrence-only
+        across MULTIPLE micro-batches (state persists between triggers)."""
+        import pandas as pd
+        from gdalcubes_spark.streaming import streaming_dedup
+        src = str(tmp_path / "docdrops")
+        os.makedirs(src, exist_ok=True)
+        # batch 1: docs 0..9; batch 2: clones of 0..4 (new ids) + new docs 10..14
+        d1 = pd.DataFrame({"doc_id": range(10), "text": [f"doc number {i}" for i in range(10)]})
+        d2 = pd.DataFrame({"doc_id": range(100, 110),
+                           "text": [f"doc number {i}" for i in list(range(5)) + list(range(10, 15))]})
+        spark.createDataFrame(d1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(d2).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        from gdalcubes_spark.streaming import run_to_memory
+        run_to_memory(streaming_dedup(stream), "sdedup", output_mode="append")
+        got = spark.sql("SELECT doc_id FROM sdedup ORDER BY doc_id").toPandas()
+        ids = set(got["doc_id"])
+        assert len(ids) == 15  # 10 originals + 5 genuinely-new
+        # the 5 clones in batch 2 must NOT re-emit under their new ids —
+        # unless both copies arrived in the same first micro-batch (then min id wins)
+        assert sum(1 for i in ids if i >= 100) == 5  # only the 5 new texts
