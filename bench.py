@@ -57,9 +57,13 @@ def make_queries(sf: float):
             [(i, rect_wkt((i % 4) * 2 + 0.25, (i // 4) * 2 + 0.25,
                           (i % 4) * 2 + 1.75, (i // 4) * 2 + 1.75)) for i in range(16)],
             "fid long, wkt string")
+        from pyspark.sql import functions as F
         med.df.persist()
         zs = zonal_stats(med, polys, ["mean", "count", "median"], by_time=True)
-        n = zs.count() + med.df.count()
+        # "tiles + joined rows": produced cube cells + zonal rows
+        cells = med.df.select(F.sum(F.col("nb").cast("long") * F.col("nt") * F.col("ny") * F.col("nx"))
+                              .alias("c")).first()["c"] or 0
+        n = zs.count() + int(cells)
         med.df.unpersist()
         return n
 
@@ -86,8 +90,11 @@ def make_queries(sf: float):
         idx = cube.apply_pixel(
             "sin(b01/255*3.14159) * cos(b02/255*3.14159) + log(1 + b01*b02) + sqrt(b01+1) * tanh(b02/128)",
             ["idx"])
+        from pyspark.sql import functions as F
         r = idx.reduce_time("mean(idx)", "max(idx)")
-        return r.df.count()
+        cells = r.df.select(F.sum(F.col("nb").cast("long") * F.col("nt") * F.col("ny") * F.col("nx"))
+                            .alias("c")).first()["c"] or 0
+        return int(cells)
 
     def cube_pipeline(spark, sf_dir):
         """Cube operator chain over the lineitem-derived cube."""
