@@ -96,6 +96,38 @@ def make_queries(sf: float):
                             .alias("c")).first()["c"] or 0
         return int(cells)
 
+    def scan_from_table(spark, sf_dir):
+        """Input-hint-faithful variant: the image+caption inventory is READ
+        FROM STORAGE (parquet; Iceberg on a cluster) — generation is untimed
+        setup, so the measured time is pure engine: storage scan → equi-join
+        → decode/warp/median → reduce."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0.0, top0=8.0, tile_dx=1.0, tile_dy=1.0, gx=grid, gy=grid,
+                          ntime=ntime, dt_days=31, tile_w=64, tile_h=64, nb=2,
+                          fmts=("png", "raw", "jpeg"), hot_every=13, overlap=0.2)
+        path = tempfile.mkdtemp(prefix="bench_inventory_") + "/images"
+        generate_images(spark, n_images, lay).write.mode("overwrite").parquet(path)
+        imgs = spark.read.parquet(path)
+        t0 = time.time()
+        v = CubeView.create(srs="EPSG:4326", left=0, right=8, bottom=0, top=8,
+                            t0="2021-01-01", t1="2021-12-31", dt="P1M", dx=1.0 / 64, dy=1.0 / 64,
+                            aggregation="median", resampling="bilinear")
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=128, cx=128)
+        med = (raster_cube(imgs, v, band_names(lay), chunking=g)
+               .apply_pixel("(b02 - b01) / (b02 + b01 + 1)", ["ndvi"])
+               .reduce_time("median(ndvi)", names=["ndvi"]))
+        cells = med.df.select(F.sum(F.col("nb").cast("long") * F.col("nt") * F.col("ny") * F.col("nx"))
+                              .alias("c")).first()["c"] or 0
+        # report engine-only time via the rows/sec context (scan wall below)
+        scan_from_table.engine_seconds = round(time.time() - t0, 3)
+        return int(cells)
+
     def cube_pipeline(spark, sf_dir):
         """Cube operator chain over the lineitem-derived cube."""
         from gdalcubes_spark.cube import Cube
@@ -138,6 +170,7 @@ def make_queries(sf: float):
     return {
         "scan_zonal": scan_zonal,
         "scan_scaling": scan_scaling,
+        "scan_from_table": scan_from_table,
         "cube_pipeline": cube_pipeline,
         "dedup_lsh": dedup_lsh,
         "ann_topk": ann_topk,
@@ -173,6 +206,9 @@ def run(sf_dir: str, cores: int, queries=None):
         t0 = time.time()
         rows[name] = int(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # queries with untimed setup report their engine-only wall explicitly
+        if getattr(fn, "engine_seconds", None) is not None:
+            times[name] = fn.engine_seconds
     spark.stop()
     total = round(sum(times.values()), 3)
     total_rows = sum(rows.values())
