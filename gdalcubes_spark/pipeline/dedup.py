@@ -62,10 +62,14 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Word n-gram shingles as strings (distinct per doc)."""
+    """Word n-gram shingles, HASHED to int64 before leaving the narrow stage:
+    every downstream join/groupBy shuffles 8-byte keys instead of strings
+    (xxhash64 collisions are negligible at n²/2⁶⁴, and both the LSH path and
+    the exact-verify path use the same hashed universe so Jaccard is
+    unchanged)."""
     words = F.split(F.lower(F.col(text_col)), " +")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))))
     return df.select(id_col, F.explode(sh).alias("shingle")).distinct()
 
 
