@@ -206,3 +206,73 @@ class TestStreamOps:
         c = dummy_cube(spark, v, 2, 1.0, chunking=ChunkGrid(nt=365, ny=4, nx=4, ct=365, cy=4, cx=4))
         r = c.predict(Model(), ["score"])
         assert np.allclose(r.collect_array(), 11.0)
+
+
+class TestAggregateSpaceGolden:
+    """Verbatim port of inst/tinytest/test_aggregate_space.R — misaligned
+    target grid (extent enlarged symmetrically) + chunking invariance."""
+
+    def _v(self):
+        return CubeView.create(srs="EPSG:4326", left=5, right=10, bottom=48, top=53,
+                               t0="2021-01-01", t1="2021-12-31", dt="P1M", dx=1.0, dy=1.0)
+
+    def test_sum_misaligned(self, spark):
+        c = dummy_cube(spark, self._v(), 1, 1.0)
+        x = c.aggregate_space(dx=2, dy=2, method="sum").collect_array()
+        want = np.array([[1, 2, 2], [2, 4, 4], [2, 4, 4]], dtype="float64")
+        assert x.shape == (1, 12, 3, 3)
+        assert np.allclose(x[0, 0], want)
+        assert np.allclose(x[0, 11], want)
+
+    def test_count_chunking_invariance(self, spark):
+        v = self._v()
+        base = dummy_cube(spark, v, 1, 1.0).aggregate_space(dx=2, dy=2, method="sum").collect_array()
+        for ck in ((1, 4, 4), (1, 2, 5)):
+            g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=ck[0], cy=ck[1], cx=ck[2])
+            y = dummy_cube(spark, v, 1, 1.0, chunking=g).aggregate_space(
+                dx=2, dy=2, method="count").collect_array()
+            assert np.allclose(base, y), ck
+
+    def test_mean_var_multiband(self, spark):
+        v = self._v()
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=3, cy=4, cx=4)
+        c = dummy_cube(spark, v, 3, 2.0, chunking=g)
+        z = c.aggregate_space(dx=3, dy=3, method="mean").collect_array()
+        assert np.allclose(z, 2.0)
+        zv = c.aggregate_space(dx=3, dy=3, method="var").collect_array()
+        assert np.allclose(np.nan_to_num(zv, nan=0.0), 0.0)
+
+
+class TestEmptyInputRobustness:
+    """Zero-row edges through the heavy paths (driver edge conditions)."""
+
+    def test_scan_with_zero_images(self, spark):
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(gx=1, gy=1, ntime=1, tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+        imgs = generate_images(spark, 1, lay).filter("1 = 0")
+        v = CubeView.create(srs="EPSG:4326", left=0, right=2, bottom=2, top=4,
+                            t0="2021-01-01", t1="2021-01-01", dt="P1D", dx=0.25, dy=0.25)
+        c = raster_cube(imgs, v, ["B01"], chunking=ChunkGrid(nt=1, ny=8, nx=8, ct=1, cy=8, cx=8))
+        assert np.all(np.isnan(c.collect_array()))
+        # and the whole operator chain survives an empty cube
+        r = c.apply_pixel("b01 * 2", ["x"]).reduce_time("mean(x)")
+        assert np.all(np.isnan(r.collect_array()))
+
+    def test_dedup_and_ann_on_empty(self, spark):
+        from gdalcubes_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs
+        from gdalcubes_spark.pipeline.similarity import brute_topk
+        d = spark.createDataFrame([], "doc_id long, text string")
+        assert exact_dedup(d).count() == 0
+        assert minhash_lsh_pairs(d).count() == 0
+        e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        assert brute_topk(e, q, k=3).count() == 0
+
+    def test_extract_geom_no_feature_overlap(self, spark):
+        from gdalcubes_spark.geom import rect_wkt
+        v = CubeView.create(srs="EPSG:4326", left=0, right=10, bottom=0, top=10,
+                            t0="2021-01-01", t1="2021-01-03", dt="P1D", dx=1.0, dy=1.0)
+        c = dummy_cube(spark, v, 1, 1.0)
+        feats = spark.createDataFrame([(1, rect_wkt(50, 50, 60, 60))], "fid long, wkt string")
+        assert c.extract_geom(feats).count() == 0
