@@ -521,3 +521,45 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
     part = salted.groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema)
     out = part.groupBy("chunk_id").applyInPandas(merge, CHUNK_SCHEMA)
     return Cube(out, view, list(bands), g)
+
+
+def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",
+                                cell_deg: float = 2.0) -> DataFrame:
+    """Assign the storage-partition columns for a planet-scale inventory:
+    pt_tb (time bucket) and pt_gy/pt_gx (coarse spatial cell of the bbox
+    center). Writing the inventory partitioned by these (parquet here,
+    Iceberg partition spec on a cluster) lets the scan's datetime/bbox
+    predicates prune at the METADATA level — the analogue of the reference's
+    per-chunk SQLite WHERE (image_collection.cpp:1373-1383), but evaluated
+    against file statistics instead of rows. At 10^12 images this is the
+    difference between touching TBs of metadata and touching only the
+    partitions a cube view overlaps."""
+    tb = {"month": F.date_format("datetime", "yyyy-MM"),
+          "day": F.date_format("datetime", "yyyy-MM-dd"),
+          "year": F.date_format("datetime", "yyyy")}[time_bucket]
+    return (images
+            .withColumn("pt_tb", tb)
+            .withColumn("pt_gy", F.floor(((F.col("bottom") + F.col("top")) / 2) / cell_deg).cast("int"))
+            .withColumn("pt_gx", F.floor(((F.col("left") + F.col("right")) / 2) / cell_deg).cast("int")))
+
+
+def read_inventory(spark, path: str, view: CubeView, cell_deg: float = 2.0,
+                   time_bucket: str = "month") -> DataFrame:
+    """Open a partitioned inventory pruned to the view's spatiotemporal
+    window: the filters hit the PARTITION columns, so Spark prunes whole
+    directories/files before any row is read."""
+    df = spark.read.parquet(path)
+    tbs = set()
+    for i in range(view.nt):
+        d = view.datetime_at_index(i)
+        tbs.add(d.to_string()[:7] if time_bucket == "month"
+                else d.to_string()[:10] if time_bucket == "day" else d.to_string()[:4])
+    # bbox prune with one-cell slack (images whose center sits in a neighbour
+    # cell can still overlap the view)
+    gy0 = int(np.floor(view.bottom / cell_deg)) - 1
+    gy1 = int(np.floor(view.top / cell_deg)) + 1
+    gx0 = int(np.floor(view.left / cell_deg)) - 1
+    gx1 = int(np.floor(view.right / cell_deg)) + 1
+    return df.filter(F.col("pt_tb").isin(sorted(tbs))
+                     & F.col("pt_gy").between(gy0, gy1)
+                     & F.col("pt_gx").between(gx0, gx1))

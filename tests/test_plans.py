@@ -56,3 +56,32 @@ class TestPlans:
         plan = text_features(d)._jdf.queryExecution().executedPlan().toString()
         assert plan.lstrip().startswith("*(")  # whole-stage codegen marker
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestInventoryPartitionPruning:
+    def test_partitioned_inventory_prunes_and_scans_correctly(self, spark, tmp_path):
+        from gdalcubes_spark.sources.raster_cube import (inventory_partition_columns,
+                                                         raster_cube, read_inventory)
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+        lay = ImageLayout(left0=0, top0=8, tile_dx=2.0, tile_dy=2.0, gx=4, gy=4,
+                          ntime=6, dt_days=31, tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+        imgs = inventory_partition_columns(generate_images(spark, 96, lay), cell_deg=2.0)
+        path = str(tmp_path / "inventory")
+        imgs.write.partitionBy("pt_tb", "pt_gy", "pt_gx").parquet(path)
+
+        # a view over 2 months and the NW quarter of the space
+        v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=4, top=8,
+                            t0="2021-01-01", t1="2021-02-28", dt="P1M", dx=0.25, dy=0.25,
+                            aggregation="first", resampling="near")
+        pruned = read_inventory(spark, path, v, cell_deg=2.0)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "pt_tb" in plan.split("PartitionFilters")[1][:300]
+        # pruning really cut the input (full table is 96 rows over 6 months/16 tiles)
+        assert 0 < pruned.count() < 96
+
+        from gdalcubes_spark.grid import ChunkGrid
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16)
+        full_scan = raster_cube(spark.read.parquet(path), v, band_names(lay), chunking=g)
+        pruned_scan = raster_cube(pruned, v, band_names(lay), chunking=g)
+        a, b = full_scan.collect_array(), pruned_scan.collect_array()
+        assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1))
