@@ -98,6 +98,14 @@ def _q_reduce_time(spark, sf_dir):
     return r.cells().select("iy", "ix", "band", "value")
 
 
+def _q_reduce_quantiles(spark, sf_dir):
+    """Q1/Q3 (Hyndman-Fan 7 == quantile_cont) + sample var/sd, rounded on
+    both sides (two-pass numpy vs single-pass DuckDB differ in last ulps)."""
+    c = _lineitem_cube(spark, sf_dir)
+    r = c.reduce_time("Q1(v)", "Q3(v)", "var(v)", "sd(v)")
+    return (r.cells().select("iy", "ix", "band", F.round("value", 6).alias("value")))
+
+
 def _q_reduce_space(spark, sf_dir):
     c = _lineitem_cube(spark, sf_dir)
     r = c.reduce_space("mean(v)", "min(v)", "max(v)")
@@ -323,6 +331,7 @@ def _q_scan_monthly_median(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cube_reduce_time": _q_reduce_time,
+        "cube_reduce_quantiles": _q_reduce_quantiles,
         "cube_reduce_space": _q_reduce_space,
         "cube_apply_pixel": _q_apply_pixel,
         "cube_filter_pixel": _q_filter_pixel,
@@ -363,6 +372,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT iy, ix, band || '_max', MAX(value) FROM cells GROUP BY iy, ix, cells.band
             UNION ALL
             SELECT iy, ix, band || '_median', QUANTILE_CONT(value, 0.5) FROM cells GROUP BY iy, ix, cells.band
+        """,
+        "cube_reduce_quantiles": _CELLS_CTE + """
+            SELECT iy, ix, band || '_Q1' AS band, ROUND(QUANTILE_CONT(value, 0.25), 6) AS value
+            FROM cells GROUP BY iy, ix, cells.band
+            UNION ALL
+            SELECT iy, ix, band || '_Q3', ROUND(QUANTILE_CONT(value, 0.75), 6) FROM cells GROUP BY iy, ix, cells.band
+            UNION ALL
+            SELECT iy, ix, band || '_var', ROUND(VAR_SAMP(value), 6) FROM cells GROUP BY iy, ix, cells.band HAVING COUNT(*) > 1
+            UNION ALL
+            SELECT iy, ix, band || '_sd', ROUND(STDDEV_SAMP(value), 6) FROM cells GROUP BY iy, ix, cells.band HAVING COUNT(*) > 1
         """,
         "cube_reduce_space": _CELLS_CTE + """
             SELECT it, band || '_mean' AS band, AVG(value) AS value FROM cells GROUP BY it, cells.band
