@@ -202,3 +202,60 @@ class TestSelectionSugar:
         c = dummy_cube(spark, v, 1, 1.0)
         s = c[None, None, slice(2, 8), slice(3, 7)]
         assert (s.view.ny, s.view.nx) == (6, 4)
+
+
+class TestReduceSpaceGolden:
+    """Verbatim port of inst/tinytest/test_reduce_space.R + slice goldens."""
+
+    def _v(self):
+        return CubeView.create(srs="EPSG:4326", left=5, right=10, bottom=48, top=53,
+                               t0="2021-01-01", t1="2021-12-31", dt="P1D", dx=0.05, dy=0.05)
+
+    def test_mixed_reducers_100x100(self, spark):
+        v = self._v()
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=365, cy=64, cx=64)
+        c = dummy_cube(spark, v, 3, 1.0, chunking=g)
+        x = c.reduce_space("sum(band1)", "median(band2)", "mean(band3)",
+                           "min(band1)", "max(band2)", "var(band3)").collect_array()
+        assert np.all(x[0] == 100 * 100)
+        assert np.all(x[1] == 1) and np.all(x[2] == 1)
+        assert np.all(x[3] == 1) and np.all(x[4] == 1)
+        assert np.allclose(x[5], 0)
+
+    def test_empty_all_nan(self, spark):
+        x = empty_cube(spark, self._v(), 3).reduce_space(
+            "sum(band1)", "median(band2)", "var(band3)").collect_array()
+        assert np.all(np.isnan(x))
+
+    def test_names_override(self, spark):
+        c = dummy_cube(spark, self._v(), 3, 1.0)
+        r = c.reduce_space("sum(band1)", "median(band2)", names=["A", "B"])
+        assert r.bands == ["A", "B"]
+
+    def test_median_of_time_ramp(self, spark):
+        v = self._v()
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=100, cy=100, cx=100)
+        x = (dummy_cube(spark, v, 1, 1.0, chunking=g).apply_pixel("it", ["t"])
+             .reduce_space("median(t)").collect_array())
+        assert np.array_equal(x[0, :, 0, 0], np.arange(365.0))
+
+    def test_slice_space_time_ramp(self, spark):
+        # test_slice_time.R: slice at (6.123, 49.26933) → the it ramp
+        v = self._v()
+        c = dummy_cube(spark, v, 1, 1.0).apply_pixel("it", ["t"])
+        x = c.slice_space(x=6.123, y=49.26933).collect_array()
+        assert np.array_equal(x[0, :, 0, 0], np.arange(365.0))
+
+    def test_reduce_time_udf_two_outputs(self, spark):
+        # test_reduce_space.R UDF block: fn sees (nb, nt), returns 2 values
+        from gdalcubes_spark.operators.stream import reduce_time_udf
+        v = CubeView.create(srs="EPSG:4326", left=5, right=10, bottom=48, top=53,
+                            t0="2021-01-01", t1="2021-12-31", dt="P1D", dx=0.5, dy=0.5)
+        c = dummy_cube(spark, v, 2, 1.0)
+        r = reduce_time_udf(
+            c, lambda s: np.array([np.max(s[0] + np.arange(1, s.shape[1] + 1)),
+                                   float(np.mean(s[1]))]), ["A", "B"])
+        assert r.bands == ["A", "B"]
+        x = r.collect_array()
+        assert np.all(x[0] == 366.0)
+        assert np.all(x[1] == 1.0)
