@@ -114,11 +114,13 @@ def resume(cube: Cube, path: str) -> int:
     """Compute + append only the chunks NOT already committed at `path`
     (exact resume after job loss). Returns number of chunks appended."""
     spark = cube.df.sparkSession
-    try:
-        done = spark.read.parquet(f"{path}/chunks").select("chunk_id").distinct()
-    except Exception:
+    # Fall back to a fresh full write ONLY when the checkpoint genuinely does
+    # not exist; a transient read error (storage/permission) must propagate
+    # instead of silently discarding previously committed chunks.
+    if not os.path.exists(f"{path}/_lineage.json") and not os.path.exists(f"{path}/chunks"):
         write_checkpoint(cube, path, mode="overwrite")
         return -1
+    done = spark.read.parquet(f"{path}/chunks").select("chunk_id").distinct()
     missing = cube.df.join(done, "chunk_id", "left_anti")
     n = missing.count()
     if n > 0:

@@ -437,7 +437,16 @@ class CubeView:
         return [self.datetime_at_index(i) for i in range(self.nt)]
 
     def time_epochs(self):
-        """Per-slice [start, end) epoch seconds; end = start of next slice."""
+        """Per-slice [start, end) epoch seconds; end = start of next slice.
+
+        Labeled axes have no index nt, so the final slice end is the last
+        label advanced by the view's dt (a label is a point; its slice gets
+        one dt of width — mirrors cube_stref_labeled_time semantics).
+        """
+        if self.labels is not None:
+            out = [l.epoch() for l in self.labels]
+            out.append(self.labels[-1].add(self.dt).epoch())
+            return out
         out = []
         for i in range(self.nt + 1):
             out.append(self.datetime_at_index(i).epoch())

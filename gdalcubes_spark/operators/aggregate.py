@@ -139,7 +139,8 @@ def aggregate_time(cube: Cube, dt: Optional[str] = None, fact: Optional[int] = N
         new_dt = Duration.parse(dt)
     out_view = view.copy(dt=new_dt,
                          t0=view.t0.with_unit(new_dt.unit),
-                         t1=view.t1.with_unit(new_dt.unit))
+                         t1=view.t1.with_unit(new_dt.unit),
+                         labels=None)  # re-binning to a regular axis drops labels
     # target index per source slice: by source cell START datetime
     t_map = np.array([out_view.index_at_datetime(view.datetime_at_index(i))
                       for i in range(view.nt)], dtype="int64")

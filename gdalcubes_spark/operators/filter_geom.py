@@ -79,7 +79,8 @@ def filter_geom(cube: Cube, wkt: str) -> Cube:
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in CHUNK_SCHEMA.fields})
 
     masked = Cube(pruned.mapInPandas(gen, CHUNK_SCHEMA), view, list(cube.bands), g)
-    # crop to geometry bbox with snap "out" (reference re-views to the extent)
+    # crop to the geometry bbox; bounds are already cell-aligned (x0/x1/y0/y1
+    # are cell indices), so snap="in" keeps them exactly — no outward growth
     from gdalcubes_spark.operators.select import crop
     return crop(masked,
                 left=view.left + x0 * view.dx, right=view.left + x1 * view.dx,

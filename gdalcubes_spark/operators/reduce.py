@@ -68,7 +68,9 @@ def reduce_time(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] =
     rnames = [r for r, _ in pairs]
     view = cube.view
     g = cube.chunking
-    out_view = view.copy()  # nt collapses to 1: keep [t0, t1] with dt = full span
+    # nt collapses to 1: keep [t0, t1] with dt = full span; drop any labeled
+    # axis (labels would keep nt == len(labels) and corrupt the output shape)
+    out_view = view.copy(labels=None)
     out_view.dt = (view.t1 - view.t0) + 1
     gout = ChunkGrid(nt=1, ny=g.ny, nx=g.nx, ct=1, cy=g.cy, cx=g.cx)
 

@@ -61,7 +61,7 @@ def slice_time(cube: Cube, t=None, it: Optional[int] = None) -> Cube:
     if not (0 <= it < view.nt):
         raise ValueError(f"time index {it} out of range [0, {view.nt})")
     ict, loc = it // g.ct, it % g.ct
-    out_view = view.copy()
+    out_view = view.copy(labels=None)  # single regular slice; stale labels would force nt=len(labels)
     tsel = view.datetime_at_index(it)
     out_view.t0 = tsel
     out_view.t1 = tsel
@@ -208,7 +208,8 @@ def crop(cube: Cube, left=None, right=None, bottom=None, top=None, t0=None, t1=N
     if x1 <= x0 or y1 <= y0 or tt1 <= tt0:
         raise ValueError("empty crop")
 
-    out_view = view.copy()
+    # labeled axis: keep only the labels inside the crop window
+    out_view = view.copy(labels=(view.labels[tt0:tt1] if view.labels is not None else None))
     out_view.set_x_axis(view.left + x0 * view.dx, view.left + x1 * view.dx, n=x1 - x0)
     out_view.set_y_axis(view.top - y1 * view.dy, view.top - y0 * view.dy, n=y1 - y0)
     out_view.t0 = view.datetime_at_index(tt0)

@@ -107,7 +107,7 @@ def reduce_time_udf(cube: Cube, fn: Callable[[np.ndarray], np.ndarray],
     g, view = cube.chunking, cube.view
     nb = len(cube.bands)
     gout = ChunkGrid(nt=1, ny=g.ny, nx=g.nx, ct=1, cy=g.cy, cx=g.cx)
-    out_view = view.copy(dt=(view.t1 - view.t0) + 1)
+    out_view = view.copy(dt=(view.t1 - view.t0) + 1, labels=None)
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ct")

@@ -130,8 +130,9 @@ def window_time(cube: Cube, window: Sequence[int], reducer=None, kernel=None) ->
         kt, ky, kx = g.chunk_coords(cid)
         (kt0, kt1), (y0, y1), (x0, x1) = g.chunk_cell_range(kt, ky, kx)
         ntc, ny, nx = kt1 - kt0, y1 - y0, x1 - x0
-        if not (pdf["is_core"] == 1).any():
-            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        # NOTE: no is_core guard — an elided (all-NaN) core chunk still gets a
+        # window computed from neighbor halo data (window_time.cpp:160-251);
+        # the all-NaN output check below keeps the missing-chunk invariant.
         padded = np.full((nb_in, l + ntc + r, ny, nx), np.nan)
         for _, row in pdf.iterrows():
             p = tensor_of(row)
@@ -268,8 +269,8 @@ def window_space(cube: Cube, reducer=None, kernel=None, window: Optional[Sequenc
         kt, ky, kx = g.chunk_coords(cid)
         (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(kt, ky, kx)
         ntc, ny, nx = t1 - t0, y1 - y0, x1 - x0
-        if not (pdf["is_core"] == 1).any():
-            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        # NOTE: no is_core guard — see window_time.assemble; an all-NaN core
+        # with live neighbor halos must still produce windowed values.
         padded = np.full((nb_in, ntc, ny + 2 * hy, nx + 2 * hx), np.nan)
         for _, row in pdf.iterrows():
             p = tensor_of(row)

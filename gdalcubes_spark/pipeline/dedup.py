@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 
 from gdalcubes_spark.pipeline.text import fingerprint_sql
 
+# DataFrames persisted by long plans (LSH shingles); release_caches() frees
+# them — call between queries in long-lived sessions to avoid cache growth.
+_CACHED: list = []
+
+
+def release_caches() -> None:
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the smallest id per identical (normalized) text. Returns the
@@ -39,12 +51,28 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
-                  text_col: str = "text", df_cap: int = 0) -> DataFrame:
+                  text_col: str = "text", df_cap=0) -> DataFrame:
     """Exact word-set Jaccard over all pairs sharing ≥1 token.
-    df_cap > 0 drops tokens appearing in more than df_cap docs (stopword/skew
-    guard — at corpus scale the hot-token join is the bottleneck)."""
+
+    df_cap drops tokens appearing in more than df_cap docs (stopword/skew
+    guard — at corpus scale the hot-token self-join is quadratic in the hot
+    token's document frequency and dominates everything else):
+    - 0: off (exact over ALL tokens — matches the SQL oracle exactly)
+    - int > 0: fixed cap (deterministic, oracle-expressible)
+    - "auto": cap at max(p99 of the token document-frequency distribution, 8),
+      computed in-plan; the HOT set is tiny by construction → broadcast
+      anti-join, no extra shuffle of the token table.
+    Dropping a token with df > cap can only LOWER a pair's intersection, so
+    capped Jaccard is a lower bound — pairs reported are still ≥ threshold
+    on the capped universe (standard stopword semantics)."""
     toks = _tokens(df, id_col, text_col)
-    if df_cap > 0:
+    if df_cap == "auto":
+        freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        cap = freq.agg(F.greatest(F.percentile_approx("df", F.lit(0.99)),
+                                  F.lit(8)).alias("_cap"))
+        hot = freq.join(F.broadcast(cap), F.col("df") > F.col("_cap"), "inner").select("tok")
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    elif df_cap and df_cap > 0:
         rare = toks.groupBy("tok").count().filter(F.col("count") <= df_cap).select("tok")
         toks = toks.join(F.broadcast(rare), "tok")
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
@@ -90,8 +118,10 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_
     probability at j=0.6 is ~0.88, at j=0.8 ~0.9986 — tune bands/rows per
     target threshold."""
     rows = n_hashes // bands
-    # one shingle pass feeds both the signatures and the exact verification
+    # one shingle pass feeds both the signatures and the exact verification;
+    # the cache is tracked so sessions can release it (release_caches()).
     sh = _shingles(df, id_col, text_col, shingle_n).persist()
+    _CACHED.append(sh)
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     band_cols = [F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
@@ -156,13 +186,31 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def hash_near_pairs(sig: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs for ANY 64-bit signature column (SimHash, the images
-    table's phash, …): 4×16-bit band buckets (pigeonhole: hamming ≤ 3 ⇒ at
-    least one band identical) → candidate equi-join → exact bit_count(xor)."""
-    bands = [(F.shiftrightunsigned(F.col(hash_col), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(f"p{b}")
-             for b in range(4)]
-    s = sig.select(F.col(id_col), F.col(hash_col).alias("_sig"), *bands)
+    table's phash, …): banded buckets → candidate equi-join → exact
+    bit_count(xor).
+
+    The band count is DERIVED from max_hamming (pigeonhole: with
+    max_hamming+1 bands, any pair with hamming ≤ max_hamming must agree on
+    at least one whole band) — a fixed 4-band split silently missed pairs at
+    hamming=4 with one differing bit per band."""
+    if not (0 <= max_hamming <= 31):
+        raise ValueError("max_hamming must be in [0, 31] (banding needs ≥2-bit bands)")
+    nbands = int(max_hamming) + 1
+    base, rem = divmod(64, nbands)
+    widths = [base + 1 if b < rem else base for b in range(nbands)]
+    offs = [sum(widths[:b]) for b in range(nbands)]
+
+    def band_expr(b: int):
+        w, o = widths[b], offs[b]
+        e = F.shiftrightunsigned(F.col(hash_col), o)
+        if w < 64:
+            e = e.bitwiseAND(F.lit((1 << w) - 1))
+        return e.alias(f"p{b}")
+
+    s = sig.select(F.col(id_col), F.col(hash_col).alias("_sig"),
+                   *[band_expr(b) for b in range(nbands)])
     pairs = None
-    for b in range(4):
+    for b in range(nbands):
         l = s.select(F.col(id_col).alias("ida"), F.col("_sig").alias("sha"), F.col(f"p{b}").alias("k"))
         r = s.select(F.col(id_col).alias("idb"), F.col("_sig").alias("shb"), F.col(f"p{b}").alias("k"))
         c = l.join(r, "k").filter(F.col("ida") < F.col("idb")).select("ida", "idb", "sha", "shb")
