@@ -106,6 +106,22 @@ def _q_reduce_quantiles(spark, sf_dir):
     return (r.cells().select("iy", "ix", "band", F.round("value", 6).alias("value")))
 
 
+def _q_reduce_counts(spark, sf_dir):
+    """count/sum/prod + which_min/which_max reducers. prod works on v%7+1
+    (≤ 7^6 — float64-exact); which_* return the winning slice's to_double()
+    datetime code (reduce_time.cpp:188-236). Spatial cells with zero data
+    are excluded on both sides (the cube emits count=0/sum=0/prod=1 for
+    all-NaN cells inside a non-empty chunk; SQL has no such groups)."""
+    c = _lineitem_cube(spark, sf_dir)
+    p = c.apply_pixel("v % 7 + 1", ["p"], keep_bands=False)
+    r = p.reduce_time("count(p)", "sum(p)", "prod(p)", "which_min(p)", "which_max(p)")
+    cells = r.cells()
+    nonempty = (cells.filter((F.col("band") == "p_count") & (F.col("value") > 0))
+                .select("iy", "ix").distinct())
+    return (cells.join(F.broadcast(nonempty), ["iy", "ix"])
+            .select("iy", "ix", "band", "value"))
+
+
 def _q_reduce_space(spark, sf_dir):
     c = _lineitem_cube(spark, sf_dir)
     r = c.reduce_space("mean(v)", "min(v)", "max(v)")
@@ -182,6 +198,17 @@ def _q_window_space(spark, sf_dir):
 def _q_fill_time_locf(spark, sf_dir):
     c = _lineitem_cube(spark, sf_dir)
     return c.fill_time("locf").cells().select("it", "iy", "ix", "band", "value")
+
+
+def _q_fill_time_linear(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return (c.fill_time("linear").cells()
+            .select("it", "iy", "ix", "band", F.round("value", 6).alias("value")))
+
+
+def _q_fill_time_near(spark, sf_dir):
+    c = _lineitem_cube(spark, sf_dir)
+    return c.fill_time("near").cells().select("it", "iy", "ix", "band", "value")
 
 
 def _q_join_bands(spark, sf_dir):
@@ -328,6 +355,52 @@ def _q_scan_monthly_median(spark, sf_dir):
     return ndvi.reduce_time("median(ndvi)").cells().select("iy", "ix", "value")
 
 
+def _q_scan_from_table(spark, sf_dir):
+    """rows-only: input-hint-faithful scan — the inventory is READ FROM
+    STORAGE (parquet stand-in for the Iceberg table), then equi-joined to
+    chunks, decoded and aggregated. Binary decode → no SQL oracle; pytest
+    covers the scan per-cell (test_scan.py) and the storage path
+    (test_plans.py PartitionFilters)."""
+    import tempfile
+
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=4, tile_w=32, tile_h=32, nb=2, fmts=("png", "raw"),
+                      hot_every=7, overlap=0.25)
+    path = tempfile.mkdtemp(prefix="entry_inventory_") + "/images"
+    generate_images(_utc(spark), 64, lay).write.mode("overwrite").parquet(path)
+    imgs = spark.read.parquet(path)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                        t0="2021-01-01", t1="2021-01-04", dt="P1D", dx=0.125, dy=0.125,
+                        aggregation="mean", resampling="near")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16))
+    return c.reduce_time("mean(B01)", "mean(B02)").cells().select("iy", "ix", "band", "value")
+
+
+def _q_scan_resample_average(spark, sf_dir):
+    """rows-only: footprint resampling (gdalwarp 'average') in the
+    distributed scan — 32-px tiles down-sampled 4× into the view, so every
+    cube cell is the EXACT mean of a 4×4 source block (oracle in
+    tests/test_resampling.py)."""
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=2, tile_w=32, tile_h=32, nb=1, fmts=("raw",))
+    imgs = generate_images(_utc(spark), 8, lay)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                        t0="2021-01-01", t1="2021-01-02", dt="P1D", dx=0.25, dy=0.25,
+                        aggregation="first", resampling="average")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=8, cx=8))
+    return c.cells().select("it", "iy", "ix", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cube_reduce_time": _q_reduce_time,
@@ -346,8 +419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_window_time": _q_window_time,
         "cube_window_space": _q_window_space,
         "cube_fill_time_locf": _q_fill_time_locf,
+        "cube_fill_time_linear": _q_fill_time_linear,
+        "cube_fill_time_near": _q_fill_time_near,
+        "cube_reduce_counts": _q_reduce_counts,
         "cube_join_bands": _q_join_bands,
         "scan_monthly_median": _q_scan_monthly_median,
+        "scan_from_table": _q_scan_from_table,
+        "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -477,6 +555,82 @@ def oracle_sql() -> dict[str, str]:
                      LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY iy, ix, dense.band ORDER BY it
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
               FROM dense
+            ) WHERE value IS NOT NULL
+        """,
+        "cube_reduce_counts": _CELLS_CTE + """
+            , p AS (SELECT it, iy, ix, 'p' AS band, value % 7 + 1 AS value FROM cells),
+            ext AS (SELECT iy, ix, band, MIN(value) mv, MAX(value) xv FROM p GROUP BY iy, ix, band)
+            SELECT iy, ix, band || '_count' AS band, CAST(COUNT(value) AS DOUBLE) AS value FROM p GROUP BY iy, ix, p.band
+            UNION ALL
+            SELECT iy, ix, band || '_sum', SUM(value) FROM p GROUP BY iy, ix, p.band
+            UNION ALL
+            SELECT iy, ix, band || '_prod', PRODUCT(value) FROM p GROUP BY iy, ix, p.band
+            UNION ALL
+            SELECT p.iy, p.ix, p.band || '_which_min',
+                   CAST(20210101000000 + 1000000 * MIN(p.it) AS DOUBLE)
+            FROM p JOIN ext ON ext.iy = p.iy AND ext.ix = p.ix AND ext.band = p.band
+            WHERE p.value = ext.mv GROUP BY p.iy, p.ix, p.band
+            UNION ALL
+            SELECT p.iy, p.ix, p.band || '_which_max',
+                   CAST(20210101000000 + 1000000 * MIN(p.it) AS DOUBLE)
+            FROM p JOIN ext ON ext.iy = p.iy AND ext.ix = p.ix AND ext.band = p.band
+            WHERE p.value = ext.xv GROUP BY p.iy, p.ix, p.band
+        """,
+        "cube_fill_time_linear": _CELLS_CTE + f"""
+            , grid AS (SELECT DISTINCT iy, ix, band FROM cells),
+            dense AS (
+              SELECT CAST(t.range AS INTEGER) AS it, g.iy, g.ix, g.band, c.value
+              FROM grid g CROSS JOIN range({NT}) t
+              LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
+            ),
+            ctx AS (
+              SELECT it, iy, ix, band, value,
+                     LAST_VALUE(value IGNORE NULLS) OVER w_prev AS pv,
+                     LAST_VALUE(CASE WHEN value IS NOT NULL THEN it END IGNORE NULLS) OVER w_prev AS pit,
+                     FIRST_VALUE(value IGNORE NULLS) OVER w_next AS nv,
+                     FIRST_VALUE(CASE WHEN value IS NOT NULL THEN it END IGNORE NULLS) OVER w_next AS nit
+              FROM dense
+              WINDOW w_prev AS (PARTITION BY iy, ix, band ORDER BY it
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     w_next AS (PARTITION BY iy, ix, band ORDER BY it
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT it, iy, ix, band, ROUND(value, 6) AS value FROM (
+              SELECT it, iy, ix, band,
+                     CASE WHEN value IS NOT NULL THEN value
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv * (CAST(nit - it AS DOUBLE) / (nit - pit))
+                             + nv * (CAST(it - pit AS DOUBLE) / (nit - pit)) END AS value
+              FROM ctx
+            ) WHERE value IS NOT NULL
+        """,
+        "cube_fill_time_near": _CELLS_CTE + f"""
+            , grid AS (SELECT DISTINCT iy, ix, band FROM cells),
+            dense AS (
+              SELECT CAST(t.range AS INTEGER) AS it, g.iy, g.ix, g.band, c.value
+              FROM grid g CROSS JOIN range({NT}) t
+              LEFT JOIN cells c ON c.it = t.range AND c.iy = g.iy AND c.ix = g.ix AND c.band = g.band
+            ),
+            ctx AS (
+              SELECT it, iy, ix, band, value,
+                     LAST_VALUE(value IGNORE NULLS) OVER w_prev AS pv,
+                     LAST_VALUE(CASE WHEN value IS NOT NULL THEN it END IGNORE NULLS) OVER w_prev AS pit,
+                     FIRST_VALUE(value IGNORE NULLS) OVER w_next AS nv,
+                     FIRST_VALUE(CASE WHEN value IS NOT NULL THEN it END IGNORE NULLS) OVER w_next AS nit
+              FROM dense
+              WINDOW w_prev AS (PARTITION BY iy, ix, band ORDER BY it
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     w_next AS (PARTITION BY iy, ix, band ORDER BY it
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT it, iy, ix, band, value FROM (
+              SELECT it, iy, ix, band,
+                     CASE WHEN value IS NOT NULL THEN value
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          WHEN (it - pit) <= (nit - it) THEN pv ELSE nv END AS value
+              FROM ctx
             ) WHERE value IS NOT NULL
         """,
         "cube_join_bands": _CELLS_CTE + f"""

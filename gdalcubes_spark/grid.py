@@ -252,7 +252,9 @@ def _snap_t_bounds(t0: Datetime, t1: Datetime, u: Unit) -> Tuple[Datetime, Datet
 AGG_METHODS = (
     "none", "min", "max", "mean", "median", "first", "last", "count_images", "count_values", "sum",
 )
-RESAMPLING_METHODS = ("near", "nearest", "bilinear")
+# full gdalwarp algorithm set of the reference (view.h:66-79)
+RESAMPLING_METHODS = ("near", "nearest", "bilinear", "cubic", "cubicspline", "lanczos",
+                      "average", "mode", "min", "max", "med", "q1", "q3")
 
 
 @dataclass

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from gdalcubes_spark import codecs
 from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor
+from gdalcubes_spark.sources import resample as RS
 from gdalcubes_spark.grid import ChunkGrid, CubeView, Unit, default_chunking
 from gdalcubes_spark.srs import Transformer, parse_epsg
 
@@ -106,7 +107,7 @@ def _bbox_in_view_srs(images: DataFrame, view: CubeView) -> DataFrame:
 
 
 def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resampling,
-                  nb_expected, vbbox, band_idx=None):
+                  nb_expected, vbbox, band_idx=None, dxv=None, dyv=None):
     """Decode one image and sample it at cube cell centers — but ONLY over the
     sub-window of the chunk the image's bbox covers (vbbox = bbox in view
     SRS). Cost is O(covered cells), not O(chunk cells): at scale most images
@@ -114,9 +115,17 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
 
     Returns (vals (nb, hy, wx) float64 with NaN where outside the image,
     y_off, x_off) or None when the image misses the chunk entirely.
-    nearest/bilinear mirror the gdalwarp algorithms (warp.cpp:178-196);
-    the identity-SRS path uses separable 1-D pixel indexing (no meshgrid)."""
+    All 12 gdalwarp algorithms of the reference (warp.cpp:178-196,
+    view.h:66-79) are supported: near/bilinear inline here, cubic/
+    cubicspline/lanczos and the footprint reductions (average/mode/min/max/
+    med/q1/q3) in sources/resample.py. The identity-SRS path uses separable
+    1-D pixel indexing (no meshgrid) and EXACT footprints; the reprojection
+    path supersamples footprints (see resample.py docstring)."""
     vl, vr, vb, vt = vbbox
+    if dxv is None:
+        dxv = float(xs[1] - xs[0]) if len(xs) > 1 else (vr - vl)
+    if dyv is None:
+        dyv = float(ys[0] - ys[1]) if len(ys) > 1 else (vt - vb)
     # sub-window of chunk cells whose centers can fall inside the image bbox
     xi = np.nonzero((xs >= vl) & (xs <= vr))[0]
     yi = np.nonzero((ys >= vb) & (ys <= vt))[0]
@@ -166,6 +175,15 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
             vals[:, ~in_y, :] = np.nan
             vals[:, :, ~in_x] = np.nan
             return vals, y_off, x_off
+        if resampling in RS.KERNEL_RESAMPLING:
+            vals = RS.kernel_separable(arr, fx, fy, resampling)
+            vals[:, ~in_y, :] = np.nan
+            vals[:, :, ~in_x] = np.nan
+            return vals, y_off, x_off
+        if resampling in RS.FOOTPRINT_RESAMPLING:
+            vals = RS.footprint_separable(arr, sxs, sys_, il, it_, pdx, pdy,
+                                          dxv, dyv, resampling)
+            return vals, y_off, x_off
         raise ValueError(f"unsupported resampling {resampling!r}")
     # reprojection path: transform the sub-window's cell centers (2-D)
     X, Y = np.meshgrid(sxs, sys_)
@@ -196,6 +214,28 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
         vals = (a00 * (1 - wx) * (1 - wy) + a01 * wx * (1 - wy)
                 + a10 * (1 - wx) * wy + a11 * wx * wy)
         out[:, inside] = vals[:, inside]
+    elif resampling in RS.KERNEL_RESAMPLING:
+        vals = RS.kernel_projected(arr, fx, fy, resampling)
+        out[:, inside] = vals[:, inside]
+    elif resampling in RS.FOOTPRINT_RESAMPLING:
+        # supersampled footprint: n×n sub-cell centers per target cell,
+        # nearest-gathered, then reduced (deterministic approximation of the
+        # true footprint under reprojection)
+        spxv = max((vr - vl) / w, 1e-12)  # source pixel size in view units
+        spyv = max((vt - vb) / h, 1e-12)
+        sub_x, sub_y, nss = RS.supersample_grid(sxs, sys_, dxv, dyv, spxv, spyv)
+        X2, Y2 = np.meshgrid(sub_x, sub_y)
+        X2i, Y2i = tr.transform(X2, Y2)
+        fx2 = (X2i - il) / pdx
+        fy2 = (it_ - Y2i) / pdy
+        ins2 = (fx2 >= 0) & (fx2 < w) & (fy2 >= 0) & (fy2 < h)
+        px2 = np.clip(fx2.astype(np.int64), 0, w - 1)
+        py2 = np.clip(fy2.astype(np.int64), 0, h - 1)
+        sv = arr[:, py2, px2].astype("float64")
+        sv[:, ~ins2] = np.nan
+        v4 = (sv.reshape(nb, len(sys_), nss, len(sxs), nss)
+              .transpose(0, 1, 3, 2, 4).reshape(nb, len(sys_), len(sxs), nss * nss))
+        return RS.reduce_lastaxis(v4, resampling), y_off, x_off
     else:
         raise ValueError(f"unsupported resampling {resampling!r}")
     return out, y_off, x_off
@@ -373,7 +413,7 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                                 (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
                                 int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
                                 (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
-                                band_idx)
+                                band_idx, dxv=dx, dyv=dy)
             if res is None:
                 continue
             vals, oy, ox = res
@@ -449,7 +489,7 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
                                 (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
                                 int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
                                 (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
-                                band_idx)
+                                band_idx, dxv=dx, dyv=dy)
             if res is None:
                 continue
             vals, oy, ox = res
@@ -537,10 +577,19 @@ def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",
     tb = {"month": F.date_format("datetime", "yyyy-MM"),
           "day": F.date_format("datetime", "yyyy-MM-dd"),
           "year": F.date_format("datetime", "yyyy")}[time_bucket]
+    # pt_ext: extent bucket e = ceil(log2(extent_cells)), clamped ≥ 0. An
+    # image in bucket e spans ≤ 2^e cells per axis, so its CENTER cell is at
+    # most 2^(e-1)+1 cells away from any view it overlaps — the read-side
+    # prune derives its slack per bucket instead of assuming one fixed cell
+    # (a fixed slack silently dropped oversized scenes: mosaics, full-swath
+    # granules).
+    ext = F.greatest((F.col("right") - F.col("left")) / cell_deg,
+                     (F.col("top") - F.col("bottom")) / cell_deg)
     return (images
             .withColumn("pt_tb", tb)
             .withColumn("pt_gy", F.floor(((F.col("bottom") + F.col("top")) / 2) / cell_deg).cast("int"))
-            .withColumn("pt_gx", F.floor(((F.col("left") + F.col("right")) / 2) / cell_deg).cast("int")))
+            .withColumn("pt_gx", F.floor(((F.col("left") + F.col("right")) / 2) / cell_deg).cast("int"))
+            .withColumn("pt_ext", F.greatest(F.lit(0), F.ceil(F.log2(F.greatest(ext, F.lit(1e-9))))).cast("int")))
 
 
 def read_inventory(spark, path: str, view: CubeView, cell_deg: float = 2.0,
@@ -554,12 +603,28 @@ def read_inventory(spark, path: str, view: CubeView, cell_deg: float = 2.0,
         d = view.datetime_at_index(i)
         tbs.add(d.to_string()[:7] if time_bucket == "month"
                 else d.to_string()[:10] if time_bucket == "day" else d.to_string()[:4])
-    # bbox prune with one-cell slack (images whose center sits in a neighbour
-    # cell can still overlap the view)
-    gy0 = int(np.floor(view.bottom / cell_deg)) - 1
-    gy1 = int(np.floor(view.top / cell_deg)) + 1
-    gx0 = int(np.floor(view.left / cell_deg)) - 1
-    gx1 = int(np.floor(view.right / cell_deg)) + 1
-    return df.filter(F.col("pt_tb").isin(sorted(tbs))
-                     & F.col("pt_gy").between(gy0, gy1)
-                     & F.col("pt_gx").between(gx0, gx1))
+    # COVER-based bbox prune: slack per extent bucket (see
+    # inventory_partition_columns). A bucket-e image spans ≤ 2^e cells per
+    # axis → its center sits ≤ 2^(e-1)+1 cells outside any view it overlaps.
+    # The OR-of-buckets predicate is static (no data read to build it) and
+    # made entirely of partition columns, so Spark still prunes whole
+    # directories; legacy inventories without pt_ext fall back to the old
+    # one-cell slack.
+    gy0 = int(np.floor(view.bottom / cell_deg))
+    gy1 = int(np.floor(view.top / cell_deg))
+    gx0 = int(np.floor(view.left / cell_deg))
+    gx1 = int(np.floor(view.right / cell_deg))
+    time_pred = F.col("pt_tb").isin(sorted(tbs))
+    if "pt_ext" not in df.columns:
+        return df.filter(time_pred
+                         & F.col("pt_gy").between(gy0 - 1, gy1 + 1)
+                         & F.col("pt_gx").between(gx0 - 1, gx1 + 1))
+    MAX_EXT_BUCKET = 24  # 2^24 cells ≈ the whole planet at any sane cell_deg
+    pred = None
+    for e in range(MAX_EXT_BUCKET + 1):
+        s = (1 << max(e - 1, 0)) + 1
+        p = ((F.col("pt_ext") == e)
+             & F.col("pt_gy").between(gy0 - s, gy1 + s)
+             & F.col("pt_gx").between(gx0 - s, gx1 + s))
+        pred = p if pred is None else (pred | p)
+    return df.filter(time_pred & pred)

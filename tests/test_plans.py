@@ -67,7 +67,7 @@ class TestInventoryPartitionPruning:
                           ntime=6, dt_days=31, tile_w=8, tile_h=8, nb=1, fmts=("raw",))
         imgs = inventory_partition_columns(generate_images(spark, 96, lay), cell_deg=2.0)
         path = str(tmp_path / "inventory")
-        imgs.write.partitionBy("pt_tb", "pt_gy", "pt_gx").parquet(path)
+        imgs.write.partitionBy("pt_tb", "pt_gy", "pt_gx", "pt_ext").parquet(path)
 
         # a view over 2 months and the NW quarter of the space
         v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=4, top=8,
@@ -85,3 +85,44 @@ class TestInventoryPartitionPruning:
         pruned_scan = raster_cube(pruned, v, band_names(lay), chunking=g)
         a, b = full_scan.collect_array(), pruned_scan.collect_array()
         assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1))
+
+    def test_oversized_image_survives_pruning(self, spark, tmp_path):
+        """VERDICT wrong #2: an image spanning 3+ coarse cells whose CENTER
+        sits ≥ 2 cells outside the view must still be found by the pruned
+        read (the old fixed one-cell slack dropped it silently)."""
+        import pandas as pd
+        from gdalcubes_spark import codecs
+        from gdalcubes_spark.sources.raster_cube import (inventory_partition_columns,
+                                                         raster_cube, read_inventory)
+        from gdalcubes_spark.synth import IMAGE_SCHEMA, ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0, top0=8, tile_dx=2.0, tile_dy=2.0, gx=4, gy=4,
+                          ntime=1, tile_w=8, tile_h=8, nb=1, fmts=("raw",))
+        small = generate_images(spark, 16, lay)
+        # one giant mosaic: [0,16]×[0,8] degrees (8×4 coarse cells at
+        # cell_deg=2); its center (8, 4) is 2+ cells away from the view
+        big_arr = np.full((1, 16, 32), 200, dtype=np.uint8)
+        big = spark.createDataFrame(pd.DataFrame([dict(
+            image_id="img_999999999999", bytes=codecs.encode(big_arr, "raw"),
+            w=32, h=16, fmt="raw", caption="mosaic", phash=codecs.phash64(big_arr),
+            left=0.0, right=16.0, bottom=0.0, top=8.0,
+            datetime=pd.Timestamp("2021-01-01"), epsg=4326,
+            nleft=0.0, nright=16.0, nbottom=0.0, ntop=8.0)]), IMAGE_SCHEMA)
+        inv = inventory_partition_columns(small.unionByName(big), cell_deg=2.0)
+        path = str(tmp_path / "inv_big")
+        inv.write.partitionBy("pt_tb", "pt_gy", "pt_gx", "pt_ext").parquet(path)
+
+        # view over the far-left 2 cells — center of the mosaic is 3 cells east
+        v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=4, top=8,
+                            t0="2021-01-01", t1="2021-01-31", dt="P1M", dx=0.5, dy=0.5,
+                            aggregation="last", resampling="near")
+        pruned = read_inventory(spark, path, v, cell_deg=2.0)
+        assert pruned.filter("image_id = 'img_999999999999'").count() == 1
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        g = ChunkGrid(nt=1, ny=v.ny, nx=v.nx, ct=1, cy=8, cx=8)
+        a = raster_cube(pruned, v, band_names(lay), chunking=g).collect_array()
+        b = raster_cube(spark.read.parquet(path), v, band_names(lay), chunking=g).collect_array()
+        assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1))
+        # the mosaic's value (200, aggregation=last, it's the highest id)
+        assert np.all(a == 200.0)
