@@ -254,6 +254,14 @@ def _q_text_stats(spark, sf_dir):
     return text_features(d).select("doc_id", "n_tokens", "stop_ratio", "quality", "lang_pred", "fingerprint")
 
 
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints: md5 window hashes, smallest-4 per doc —
+    zero-shuffle codegen plan with a bit-identical DuckDB oracle."""
+    from gdalcubes_spark.pipeline.text import rolling_fingerprints
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").filter("doc_id < 200")
+    return rolling_fingerprints(d)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from gdalcubes_spark.pipeline.dedup import exact_dedup
     return exact_dedup(_docs_with_clones(spark, sf_dir)).select("doc_id", "n_copies")
@@ -427,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_from_table": _q_scan_from_table,
         "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
+        "text_winnow": _q_text_winnow,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -641,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2, 3
         """,
         "text_stats": _text_stats_oracle(),
+        "text_winnow": _text_winnow_oracle(),
         "dedup_exact": "WITH " + _CLONES_SQL + """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM docs GROUP BY md5(lower(trim(text)))
@@ -689,6 +699,12 @@ def oracle_sql() -> dict[str, str]:
         # inputs) and scan_monthly_median (image decode) — all covered by
         # numpy/brute-force oracles in tests/.
     }
+
+
+def _text_winnow_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import rolling_fingerprints_sql
+    return ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)\n"
+            + rolling_fingerprints_sql())
 
 
 def _text_stats_oracle() -> str:

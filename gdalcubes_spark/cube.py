@@ -221,15 +221,108 @@ class Cube:
         return out
 
     # ------------------------------------------------------------ persistence
-    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+    def write_parquet(self, path: str, mode: str = "overwrite", packing=None,
+                      format: str = "parquet") -> None:
         """Materialize the chunk table (the ncdf/Iceberg sink analogue,
-        cube.cpp:617+). Re-open with read_parquet_cube()."""
+        cube.cpp:617+). Re-open with read_parquet_cube().
+
+        packing: a gdalcubes_spark.packing.Packing (or type string like
+        "uint8") — values are stored as scaled/offset small integers
+        (cube.h:52-96); read_parquet_cube auto-unpacks (ncdf auto_unpack).
+        format: "parquet" (default) or "iceberg" — with a configured Iceberg
+        catalog the chunk table is written through it (same columns,
+        partitioned by ct); in this sandbox (no catalog jar) the writer
+        transparently falls back to plain parquet. iceberg_ddl() returns the
+        equivalent CREATE TABLE for cluster-side provisioning."""
+        from gdalcubes_spark.packing import Packing
+        if isinstance(packing, str):
+            packing = Packing(type=packing)
+        pk = packing or Packing()
         meta = dict(view=self.view.to_json(), bands=",".join(self.bands),
-                    ct=str(self.chunking.ct), cy=str(self.chunking.cy), cx=str(self.chunking.cx))
+                    ct=str(self.chunking.ct), cy=str(self.chunking.cy), cx=str(self.chunking.cx),
+                    pack=pk.to_json())
         df = self.df
+        if pk.type != "none":
+            def repack(batches: Iterable[pd.DataFrame]):
+                for pdf in batches:
+                    if len(pdf):
+                        pdf = pdf.copy()
+                        pdf["data"] = [pk.pack(tensor_of(r)) for _, r in pdf.iterrows()]
+                    yield pdf
+            df = df.mapInPandas(repack, CHUNK_SCHEMA)
         for k, val in meta.items():
             df = df.withColumn(f"_meta_{k}", F.lit(val))
+        if format == "iceberg":
+            try:
+                df.writeTo(f"gdalcubes.{path.strip('/').replace('/', '_')}") \
+                  .partitionedBy(F.col("ct")).createOrReplace()
+                return
+            except Exception:
+                pass  # no Iceberg catalog in this environment → parquet layout
         df.write.mode(mode).parquet(path)
+
+    def iceberg_ddl(self, table: str = "gdalcubes.chunks") -> str:
+        """The Iceberg CREATE TABLE matching write_parquet's layout —
+        partitioned by ct (time-slab pruning, the analogue of the chunk-id
+        filter) with identity spec on the chunk coords."""
+        cols = ",\n  ".join(f"{f.name} {'BIGINT' if isinstance(f.dataType, T.LongType) else 'INT' if isinstance(f.dataType, T.IntegerType) else 'BINARY'}"
+                            for f in CHUNK_SCHEMA.fields)
+        return (f"CREATE TABLE {table} (\n  {cols},\n"
+                "  _meta_view STRING, _meta_bands STRING, _meta_ct STRING,\n"
+                "  _meta_cy STRING, _meta_cx STRING, _meta_pack STRING\n"
+                ") USING iceberg\nPARTITIONED BY (ct)\n"
+                "TBLPROPERTIES ('write.target-file-size-bytes'='134217728')")
+
+    def write_png_slices(self, path: str, band=None, vmin: float = None,
+                         vmax: float = None) -> "DataFrame":
+        """write_tif analogue (cube.cpp:292-615): one image file per time
+        slice. Each slice is assembled by ONE task (groupBy ct — the same
+        one-file-per-slice bound as the reference's GeoTIFF writer), scaled
+        to uint8 via [vmin, vmax] and encoded with the in-repo PNG codec
+        (NaN → 0). Returns a DataFrame(it, file, bytes_written) of what was
+        written. Executors write to `path` directly — use shared storage on
+        a real cluster."""
+        import os as _os
+
+        from gdalcubes_spark import codecs as _codecs
+
+        v, g, bands = self.view, self.chunking, list(self.bands)
+        bsel = [bands.index(band)] if isinstance(band, str) else (
+            [bands.index(b) for b in band] if band is not None else list(range(min(len(bands), 3))))
+        if len(bsel) == 2 or len(bsel) > 3:
+            raise ValueError("PNG export needs 1 (grey) or 3 (RGB) bands")
+        labels = [d.to_string().replace(":", "-") for d in v.time_labels()]
+        lo = 0.0 if vmin is None else float(vmin)
+        hi = 255.0 if vmax is None else float(vmax)
+        _os.makedirs(path, exist_ok=True)
+
+        out_schema = T.StructType([
+            T.StructField("it", T.IntegerType(), False),
+            T.StructField("file", T.StringType(), False),
+            T.StructField("bytes_written", T.LongType(), False),
+        ])
+
+        def write_slice(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ict = int(key[0])
+            (t0, t1), _, _ = g.chunk_cell_range(ict, 0, 0)
+            rows = []
+            for lt in range(t1 - t0):
+                plane = np.full((len(bsel), v.ny, v.nx), np.nan)
+                for _, row in pdf.iterrows():
+                    _, (y0, y1), (x0, x1) = g.chunk_cell_range(int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    plane[:, y0:y1, x0:x1] = tensor_of(row)[bsel, lt]
+                it_global = t0 + lt
+                scaled = np.clip((plane - lo) / max(hi - lo, 1e-12) * 255.0, 0, 255)
+                a = np.where(np.isnan(scaled), 0, scaled).astype(np.uint8)
+                png = _codecs.encode(a, "png")
+                fn = f"{path}/slice_{it_global:05d}_{labels[it_global]}.png"
+                with open(fn, "wb") as fh:
+                    fh.write(png)
+                rows.append(dict(it=it_global, file=fn, bytes_written=len(png)))
+            return pd.DataFrame(rows, columns=["it", "file", "bytes_written"]) if rows else \
+                pd.DataFrame(columns=["it", "file", "bytes_written"])
+
+        return self.df.groupBy("ct").applyInPandas(write_slice, out_schema)
 
     # operator API (implemented in gdalcubes_spark.operators.*; thin wrappers
     # so pipelines read like the reference's R verb chains)
@@ -407,11 +500,30 @@ def cube_from_array(spark: SparkSession, arr: np.ndarray, view: CubeView,
 
 
 def read_parquet_cube(spark: SparkSession, path: str) -> Cube:
-    """Re-open a materialized chunk table (ncdf_cube analogue, ncdf_cube.h:48)."""
+    """Re-open a materialized chunk table (ncdf_cube analogue, ncdf_cube.h:48).
+    Packed tables (write_parquet(packing=...)) are auto-unpacked to float64
+    (ncdf auto_unpack)."""
+    from gdalcubes_spark.packing import Packing
+
     df = spark.read.parquet(path)
-    meta = df.select("_meta_view", "_meta_bands", "_meta_ct", "_meta_cy", "_meta_cx").first()
+    cols = set(df.columns)
+    sel = ["_meta_view", "_meta_bands", "_meta_ct", "_meta_cy", "_meta_cx"] + (
+        ["_meta_pack"] if "_meta_pack" in cols else [])
+    meta = df.select(sel).first()
     view = CubeView.from_json(meta["_meta_view"])
     bands = meta["_meta_bands"].split(",")
     g = ChunkGrid(nt=view.nt, ny=view.ny, nx=view.nx, ct=int(meta["_meta_ct"]),
                   cy=int(meta["_meta_cy"]), cx=int(meta["_meta_cx"]))
-    return Cube(df.select([f.name for f in CHUNK_SCHEMA.fields]), view, bands, g)
+    out = df.select([f.name for f in CHUNK_SCHEMA.fields])
+    pk = Packing.from_json(meta["_meta_pack"]) if "_meta_pack" in cols else Packing()
+    if pk.type != "none":
+        def unpack(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.copy()
+                    pdf["data"] = [pack_tensor(pk.unpack(r["data"],
+                                                         (int(r["nb"]), int(r["nt"]), int(r["ny"]), int(r["nx"]))))
+                                   for _, r in pdf.iterrows()]
+                yield pdf
+        out = out.mapInPandas(unpack, CHUNK_SCHEMA)
+    return Cube(out, view, bands, g)

@@ -35,33 +35,62 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True) -> DataFrame:
+               exclude_self: bool = True, batch_queries: int = 4096) -> DataFrame:
     """queries: DataFrame(id_col, vec_col). Returns (query_id, neighbor_id,
-    sim) with exactly the global top-k per query (cosine, float64)."""
-    q = queries.select(id_col, vec_col).toPandas()
-    qids = q[id_col].to_numpy()
-    Q = _norm_rows(np.stack(q[vec_col].to_numpy()).astype("float64"))
+    sim) with exactly the global top-k per query (cosine, float64).
 
-    def local_topk(batches: Iterable[pd.DataFrame]):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
-                continue
-            ids = pdf[id_col].to_numpy()
-            E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
-            S = Q @ E.T  # (nq, nbatch)
-            if exclude_self:
-                for qi, qid in enumerate(qids):
-                    S[qi, ids == qid] = -np.inf
-            kk = min(k, S.shape[1])
-            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = dict(query_id=np.repeat(qids, kk),
-                        neighbor_id=ids[top.ravel()],
-                        sim=np.take_along_axis(S, top, axis=1).ravel())
-            out = pd.DataFrame(rows)
-            yield out[np.isfinite(out["sim"])]
+    The query set is streamed to the driver in BOUNDED batches
+    (toLocalIterator + batch_queries), never collected whole: driver memory
+    is O(batch_queries × dim) regardless of the query-set size. Each batch
+    closes over its own matrix and scans the corpus once; query ids are
+    disjoint across batches, so one final per-query window merges them.
+    For query sets large enough that B corpus scans hurt, route to
+    hyperplane_lsh_topk / ivf_topk (the sublinear paths)."""
 
-    local = embeddings.select(id_col, vec_col).mapInPandas(local_topk, _PAIR_SCHEMA)
+    def scan_with(qids: np.ndarray, Q: np.ndarray):
+        def local_topk(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
+                    continue
+                ids = pdf[id_col].to_numpy()
+                E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+                S = Q @ E.T  # (nq, nbatch)
+                if exclude_self:
+                    for qi, qid in enumerate(qids):
+                        S[qi, ids == qid] = -np.inf
+                kk = min(k, S.shape[1])
+                top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                rows = dict(query_id=np.repeat(qids, kk),
+                            neighbor_id=ids[top.ravel()],
+                            sim=np.take_along_axis(S, top, axis=1).ravel())
+                out = pd.DataFrame(rows)
+                yield out[np.isfinite(out["sim"])]
+
+        return embeddings.select(id_col, vec_col).mapInPandas(local_topk, _PAIR_SCHEMA)
+
+    local = None
+    buf_ids, buf_vecs = [], []
+
+    def flush():
+        nonlocal local, buf_ids, buf_vecs
+        if not buf_ids:
+            return
+        qids = np.asarray(buf_ids)
+        Q = _norm_rows(np.stack(buf_vecs).astype("float64"))
+        part = scan_with(qids, Q)
+        local = part if local is None else local.unionByName(part)
+        buf_ids, buf_vecs = [], []
+
+    for row in queries.select(id_col, vec_col).toLocalIterator():
+        buf_ids.append(row[id_col])
+        buf_vecs.append(np.asarray(row[vec_col]))
+        if len(buf_ids) >= batch_queries:
+            flush()
+    flush()
+    if local is None:
+        return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA) \
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
     from pyspark.sql import Window as W
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

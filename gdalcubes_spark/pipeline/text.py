@@ -112,39 +112,38 @@ def text_features(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def rolling_fingerprints(df: DataFrame, col: str = "text", window: int = 8, keep: int = 4) -> DataFrame:
-    """Winnowing-style document fingerprints: polynomial rolling hash over
-    word windows, keep the `keep` smallest per doc (robust to local edits —
-    the near-dup index key). Arrow-vectorized; returns (doc_id, fp)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    """Winnowing-style document fingerprints: hash every `window`-word
+    sliding window, keep the `keep` lexicographically-smallest hashes per doc
+    (robust to local edits — the near-dup index key). Returns (doc_id, fp).
 
-    schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
-                           T.StructField("fp", T.LongType(), False)])
-    B, M = 1000003, (1 << 61) - 1
+    Entirely JVM column expressions, ZERO shuffle: the window hashes, dedup,
+    sort and top-k all happen per row (transform → array_distinct →
+    array_sort → slice) inside whole-stage codegen — no explode, no groupBy,
+    no Python. The hash is md5 of the window text, so the exact same
+    fingerprints are computable in DuckDB (engine-agnostic oracle), like
+    fingerprint_sql. Replaces a per-character Python rolling hash that was
+    the one row-at-a-time UDF left in the repo."""
+    words = F.split(F.lower(F.trim(F.col(col))), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - window, F.lit(0)))
+    fps = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))))
+    top = F.slice(F.array_sort(F.array_distinct(fps)), 1, keep)
+    return df.select("doc_id", F.explode(top).alias("fp"))
 
-    def gen(batches):
-        for pdf in batches:
-            out_ids, out_fps = [], []
-            for _, row in pdf.iterrows():
-                words = str(row[col]).lower().split()
-                if len(words) < window:
-                    hs = [hash_words(words)]
-                else:
-                    hs = [hash_words(words[i:i + window]) for i in range(len(words) - window + 1)]
-                hs = sorted(set(hs))[:keep]
-                out_ids.extend([int(row["doc_id"])] * len(hs))
-                out_fps.extend(hs)
-            yield pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64"),
-                                "fp": pd.Series(out_fps, dtype="int64")})
 
-    def hash_words(ws):
-        h = 0
-        for w in ws:
-            hw = 0
-            for ch in w:
-                hw = (hw * B + ord(ch)) % M
-            h = (h * B + hw) % M
-        return h - (M // 2)  # center into signed range
-
-    return df.select("doc_id", col).mapInPandas(gen, schema)
+def rolling_fingerprints_sql(col: str = "text", window: int = 8, keep: int = 4,
+                             table: str = "docs") -> str:
+    """DuckDB rendering of rolling_fingerprints — same md5-of-window hashes,
+    same smallest-`keep` selection."""
+    return f"""
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+          FROM (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + {window} AS INTEGER)], ' ')) AS fp
+            FROM (SELECT doc_id, string_split_regex(lower(trim({col})), '\\s+') AS ws FROM {table})
+            CROSS JOIN range(0, 100000) t(i)
+            WHERE i <= greatest(len(ws) - {window}, 0)
+          )
+        ) WHERE rn <= {keep}
+    """

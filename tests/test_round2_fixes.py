@@ -179,6 +179,29 @@ class TestResumeRobustness:
         assert resume(c, p) == 1  # only the ct=1 chunk is recomputed
 
 
+class TestBruteTopkBatched:
+    def test_multibatch_equals_single(self, spark):
+        from gdalcubes_spark.pipeline.similarity import brute_topk
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id % 50 = 0")
+        nq = q.count()
+        assert nq > 3
+        single = brute_topk(emb, q, k=5).toPandas().sort_values(
+            ["query_id", "neighbor_id"]).reset_index(drop=True)
+        multi = brute_topk(emb, q, k=5, batch_queries=max(2, nq // 3)).toPandas().sort_values(
+            ["query_id", "neighbor_id"]).reset_index(drop=True)
+        assert single.equals(multi)
+
+
+class TestWinnowPlan:
+    def test_zero_python_zero_shuffle(self, spark):
+        from gdalcubes_spark.pipeline.text import rolling_fingerprints
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = rolling_fingerprints(d)._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # per-row top-k: no shuffle at all
+
+
 class TestJaccardAutoCap:
     def test_hot_token_dropped(self, spark):
         from gdalcubes_spark.pipeline.dedup import jaccard_pairs
