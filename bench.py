@@ -156,6 +156,26 @@ def make_queries(sf: float):
                         F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
         return minhash_lsh_pairs(d.unionByName(near), threshold=0.7).count()
 
+    def dedup_jaccard_skew(spark, sf_dir):
+        """Skew-guard row (north-rule hot-key story): every doc carries
+        doc-unique tokens PLUS one corpus-wide hot token, and each doc has an
+        exact clone. The naive inverted-index self-join is quadratic in
+        n_docs through the hot token alone (~200M candidate rows at sf0.1);
+        df_cap='auto' computes the p99 document-frequency cap in-plan and
+        broadcast-anti-joins the hot set, so the join touches only the
+        rare-token postings and returns exactly the clone pairs.
+        (The raw documents text is NOT usable here: its 31-word vocabulary
+        makes every token hot and the OUTPUT itself quadratic.)"""
+        from gdalcubes_spark.pipeline.dedup import jaccard_pairs
+        ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        text = F.concat_ws(" ", *[F.concat(F.lit(f"w{k}_"), F.col("doc_id")) for k in range(6)],
+                           F.lit("zqhot"))
+        base = ids.withColumn("text", text)
+        clones = base.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        n = jaccard_pairs(base.unionByName(clones), threshold=0.9, df_cap="auto").count()
+        assert n == ids.count(), f"expected one pair per clone, got {n}"
+        return n
+
     def ann_topk(spark, sf_dir):
         from gdalcubes_spark.pipeline.similarity import brute_topk
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -173,6 +193,7 @@ def make_queries(sf: float):
         "scan_from_table": scan_from_table,
         "cube_pipeline": cube_pipeline,
         "dedup_lsh": dedup_lsh,
+        "dedup_jaccard_skew": dedup_jaccard_skew,
         "ann_topk": ann_topk,
         "text_stats": text_stats,
     }
