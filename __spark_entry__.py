@@ -291,6 +291,17 @@ def _q_ann_topk(spark, sf_dir):
     return brute_topk(emb, queries, k=5).select("query_id", "neighbor_id", "sim")
 
 
+def _q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: plant scaled clones (cosine exactly 1 with
+    their source), find all pairs ≥ 0.999 — exact, oracle-checked."""
+    from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    return cosine_neardup_pairs(emb.unionByName(clones), threshold=0.999)
+
+
 def _q_ann_lsh(spark, sf_dir):
     """rows-only: approximate by design; pytest reports recall vs brute."""
     from gdalcubes_spark.pipeline.similarity import hyperplane_lsh_topk
@@ -441,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
+        "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
         "knn_tiles": _q_knn_tiles,
         "multimodal_features": _q_multimodal_features,
@@ -693,6 +705,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q WHERE vec_id <> qid
             QUALIFY row_number() OVER (PARTITION BY qid
                 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id) <= 5
+        """,
+        "embed_neardup": """
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+              FROM embeddings
+            )
+            SELECT a.vec_id AS ida, b.vec_id AS idb,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
         # rows-only (by design): dedup_simhash (64-bit JVM hashes), ann_lsh
         # (approximate), knn_tiles + multimodal_features (synthetic binary

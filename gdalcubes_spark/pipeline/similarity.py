@@ -217,3 +217,62 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
+
+
+_NEARDUP_SCHEMA = T.StructType([
+    T.StructField("ida", T.LongType(), False),
+    T.StructField("idb", T.LongType(), False),
+    T.StructField("sim", T.DoubleType(), False),
+])
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         batch_queries: int = 4096) -> DataFrame:
+    """EXACT embedding near-dup pairs: all (ida < idb) with cosine ≥
+    threshold — the embedding-space twin of exact_dedup.
+
+    Shape: the corpus is streamed through the driver in bounded batches
+    (same pattern as brute_topk), each batch broadcast into a mapInPandas
+    scan doing one float64 matmul per Arrow batch; only rows ≥ threshold
+    leave the executor, so the shuffle is O(result pairs). Exact all-pairs is
+    O(n²) dot products — right for the final verify gate or modest corpora;
+    at 100 TB generate candidates with hyperplane buckets first
+    (hyperplane_lsh_topk's bucket stage) and verify candidates here."""
+
+    def scan_with(qids: np.ndarray, Q: np.ndarray):
+        def emit(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _NEARDUP_SCHEMA.fields})
+                    continue
+                ids = pdf[id_col].to_numpy()
+                E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+                S = Q @ E.T
+                qi, ei = np.nonzero(S >= threshold)
+                a, b = qids[qi], ids[ei]
+                keep = a < b  # dedupe + drop self
+                yield pd.DataFrame(dict(ida=a[keep], idb=b[keep], sim=S[qi, ei][keep]))
+
+        return embeddings.select(id_col, vec_col).mapInPandas(emit, _NEARDUP_SCHEMA)
+
+    out = None
+    buf_ids, buf_vecs = [], []
+
+    def flush():
+        nonlocal out, buf_ids, buf_vecs
+        if not buf_ids:
+            return
+        part = scan_with(np.asarray(buf_ids), _norm_rows(np.stack(buf_vecs).astype("float64")))
+        out = part if out is None else out.unionByName(part)
+        buf_ids, buf_vecs = [], []
+
+    for row in embeddings.select(id_col, vec_col).toLocalIterator():
+        buf_ids.append(row[id_col])
+        buf_vecs.append(np.asarray(row[vec_col]))
+        if len(buf_ids) >= batch_queries:
+            flush()
+    flush()
+    if out is None:
+        return embeddings.sparkSession.createDataFrame([], _NEARDUP_SCHEMA)
+    return out.select("ida", "idb", F.round("sim", 6).alias("sim"))
