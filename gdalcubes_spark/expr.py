@@ -28,6 +28,17 @@ _FUNCS: Dict[str, Callable] = {
     "sqrt": np.sqrt, "tan": np.tan, "tanh": np.tanh, "fmod": np.fmod,
     "min": np.minimum, "max": np.maximum,
 }
+
+
+def _gamma1p(x):
+    """Vectorized gamma(x+1) — tinyexpr's fac() on doubles (te builtin)."""
+    import math
+    return np.vectorize(lambda v: math.gamma(v + 1.0), otypes=[np.float64])(np.asarray(x, dtype="float64"))
+
+
+_FUNCS["fac"] = _gamma1p
+_FUNCS["ncr"] = lambda n, r: np.round(_gamma1p(n) / (_gamma1p(r) * _gamma1p(np.asarray(n, dtype="float64") - r)))
+_FUNCS["npr"] = lambda n, r: np.round(_gamma1p(n) / _gamma1p(np.asarray(n, dtype="float64") - r))
 _CONSTS = {"pi": np.pi, "e": np.e}
 
 COORD_VARS = ("t0", "t1", "left", "right", "top", "bottom", "ix", "iy", "it")
@@ -135,7 +146,10 @@ def band_usage(exprs: List[str], bands: List[str]) -> List[Set[str]]:
 
 
 _SQL_FUNCS = {"ln": "ln", "log": "ln", "log10": "log10", "atan2": "atan2", "pow": "power",
-              "min": "least", "max": "greatest"}
+              "min": "least", "max": "greatest",
+              # fac/ncr/npr on integer-valued inputs; both Spark and DuckDB
+              # provide factorial(int) (gamma-based like tinyexpr for ints)
+              "fac": "factorial"}
 
 
 def to_sql(source: str, col_of: Dict[str, str]) -> str:

@@ -226,12 +226,15 @@ def hash_near_pairs(sig: DataFrame, id_col: str, hash_col: str, max_hamming: int
 
     s = sig.select(F.col(id_col), F.col(hash_col).alias("_sig"),
                    *[band_expr(b) for b in range(nbands)])
-    pairs = None
-    for b in range(nbands):
-        l = s.select(F.col(id_col).alias("ida"), F.col("_sig").alias("sha"), F.col(f"p{b}").alias("k"))
-        r = s.select(F.col(id_col).alias("idb"), F.col("_sig").alias("shb"), F.col(f"p{b}").alias("k"))
-        c = l.join(r, "k").filter(F.col("ida") < F.col("idb")).select("ida", "idb", "sha", "shb")
-        pairs = c if pairs is None else pairs.unionByName(c)
+    # single explode → ONE self-join on (band, key) instead of nbands separate
+    # joins re-reading the signature source nbands times
+    bucket = s.select(id_col, "_sig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"p{b}").alias("key")) for b in range(nbands)
+    ])).alias("bk")).select(id_col, "_sig", "bk.band", "bk.key")
+    l = bucket.select(F.col(id_col).alias("ida"), F.col("_sig").alias("sha"), "band", "key")
+    r = bucket.select(F.col(id_col).alias("idb"), F.col("_sig").alias("shb"), "band", "key")
+    pairs = (l.join(r, ["band", "key"]).filter(F.col("ida") < F.col("idb"))
+             .select("ida", "idb", "sha", "shb"))
     return (pairs.distinct()
             .withColumn("hamming", F.expr("bit_count(sha ^ shb)"))
             .filter(F.col("hamming") <= max_hamming)

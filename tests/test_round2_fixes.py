@@ -202,6 +202,16 @@ class TestWinnowPlan:
         assert "Exchange" not in plan  # per-row top-k: no shuffle at all
 
 
+class TestTinyexprParity:
+    def test_fac_ncr_npr(self, spark):
+        # the last three tinyexpr builtins (te factorial family)
+        v = _series_view(1)
+        c = dummy_cube(spark, v, 1, 4.0, chunking=ChunkGrid(nt=1, ny=2, nx=2, ct=1, cy=2, cx=2))
+        a = c.apply_pixel("fac(band1) + ncr(band1, 2) + npr(band1, 2)", ["f"],
+                          keep_bands=False).collect_array()
+        assert np.allclose(a, 24.0 + 6.0 + 12.0)
+
+
 class TestJaccardAutoCap:
     def test_hot_token_dropped(self, spark):
         from gdalcubes_spark.pipeline.dedup import jaccard_pairs
