@@ -372,6 +372,11 @@ class Cube:
         from gdalcubes_spark.operators.select import select_time
         return select_time(self, datetimes)
 
+    def crop_indices(self, ix0: int = 0, ix1=None, iy0: int = 0, iy1=None,
+                     it0: int = 0, it1=None) -> "Cube":
+        from gdalcubes_spark.operators.select import crop_indices
+        return crop_indices(self, ix0=ix0, ix1=ix1, iy0=iy0, iy1=iy1, it0=it0, it1=it1)
+
     def crop(self, left=None, right=None, bottom=None, top=None, t0=None, t1=None, snap: str = "near") -> "Cube":
         from gdalcubes_spark.operators.select import crop
         return crop(self, left=left, right=right, bottom=bottom, top=top, t0=t0, t1=t1, snap=snap)

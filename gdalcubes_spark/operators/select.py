@@ -218,6 +218,28 @@ def crop(cube: Cube, left=None, right=None, bottom=None, top=None, t0=None, t1=N
     return _regrid(cube, (tt0, tt1), (y0, y1), (x0, x1), out_view, gout)
 
 
+def crop_indices(cube: Cube, ix0: int = 0, ix1: Optional[int] = None,
+                 iy0: int = 0, iy1: Optional[int] = None,
+                 it0: int = 0, it1: Optional[int] = None) -> Cube:
+    """The reference crop's INDEX variant (crop.h:74-130): half-open cell
+    index ranges instead of coordinates — same regrid machinery."""
+    view, g = cube.view, cube.chunking
+    x1 = view.nx if ix1 is None else int(ix1)
+    y1 = view.ny if iy1 is None else int(iy1)
+    t1 = view.nt if it1 is None else int(it1)
+    x0, y0, t0 = max(0, int(ix0)), max(0, int(iy0)), max(0, int(it0))
+    x1, y1, t1 = min(view.nx, x1), min(view.ny, y1), min(view.nt, t1)
+    if x1 <= x0 or y1 <= y0 or t1 <= t0:
+        raise ValueError("empty crop")
+    out_view = view.copy(labels=(view.labels[t0:t1] if view.labels is not None else None))
+    out_view.set_x_axis(view.left + x0 * view.dx, view.left + x1 * view.dx, n=x1 - x0)
+    out_view.set_y_axis(view.top - y1 * view.dy, view.top - y0 * view.dy, n=y1 - y0)
+    out_view.t0 = view.datetime_at_index(t0)
+    out_view.t1 = view.datetime_at_index(t1 - 1)
+    gout = ChunkGrid(nt=t1 - t0, ny=y1 - y0, nx=x1 - x0, ct=g.ct, cy=g.cy, cx=g.cx)
+    return _regrid(cube, (t0, t1), (y0, y1), (x0, x1), out_view, gout)
+
+
 def _regrid(cube: Cube, trange, yrange, xrange, out_view: CubeView, gout: ChunkGrid) -> Cube:
     """Shift/crop cube cells into a new chunk grid. Input chunks are cut into
     pieces per output chunk and shuffled once on the output chunk id."""

@@ -86,6 +86,45 @@ def translate_format(images: DataFrame, to_fmt: str) -> DataFrame:
     return images.mapInPandas(gen, images.schema)
 
 
+OVERVIEW_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+])
+
+
+def create_overviews(images: DataFrame, levels=(2, 4, 8), fmt: str = "png") -> DataFrame:
+    """image_collection_ops::create_overviews analogue
+    (image_collection_ops.h:28-36): per image, a pyramid of /2^k reductions
+    via exact block-mean (the gdaladdo 'average' resampling), re-encoded with
+    the in-repo codec. Distributed: one Arrow batch at a time, one output row
+    per (image, level). Levels not dividing the image evenly truncate to the
+    covered block grid (gdaladdo behavior)."""
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                a = codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+                nb, h, w = a.shape
+                for lv in levels:
+                    oh, ow = h // lv, w // lv
+                    if oh < 1 or ow < 1:
+                        continue
+                    blocks = (a[:, : oh * lv, : ow * lv]
+                              .reshape(nb, oh, lv, ow, lv).mean(axis=(2, 4)))
+                    enc = codecs.encode(np.clip(np.rint(blocks), 0, 255).astype(np.uint8), fmt)
+                    rows.append(dict(image_id=row["image_id"], level=int(lv),
+                                     w=ow, h=oh, fmt=fmt, bytes=enc))
+            yield pd.DataFrame(rows, columns=[f.name for f in OVERVIEW_SCHEMA.fields]) if rows else \
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in OVERVIEW_SCHEMA.fields})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(gen, OVERVIEW_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
     T.StructField("n_samples", T.LongType(), False),

@@ -202,6 +202,36 @@ class TestWinnowPlan:
         assert "Exchange" not in plan  # per-row top-k: no shuffle at all
 
 
+class TestCropIndices:
+    def test_matches_coordinate_crop(self, spark):
+        v = CubeView.create(srs="EPSG:4326", left=0, right=10, bottom=0, top=10,
+                            t0="2021-01-01", t1="2021-01-06", dt="P1D", dx=1.0, dy=1.0)
+        arr = np.arange(6 * 100, dtype="float64").reshape(1, 6, 10, 10)
+        c = cube_from_array(spark, arr, v, chunking=ChunkGrid(nt=6, ny=10, nx=10, ct=2, cy=4, cx=4))
+        a = c.crop(left=2, right=7, bottom=3, top=8, t0="2021-01-02", t1="2021-01-05").collect_array()
+        b = c.crop_indices(ix0=2, ix1=7, iy0=2, iy1=7, it0=1, it1=5).collect_array()
+        assert a.shape == b.shape == (1, 4, 5, 5)
+        assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1))
+
+
+class TestCreateOverviews:
+    def test_block_mean_pyramid(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import create_overviews
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(gx=1, gy=1, ntime=1, tile_w=16, tile_h=16, nb=1, fmts=("raw",))
+        imgs = generate_images(spark, 1, lay)
+        src = imgs.select("image_id", "bytes", "fmt").first()
+        from gdalcubes_spark import codecs
+        a = codecs.decode(bytes(src["bytes"]), src["fmt"]).astype("float64")
+        ov = {r["level"]: r for r in create_overviews(imgs, levels=(2, 4)).collect()}
+        assert set(ov) == {2, 4}
+        for lv, r in ov.items():
+            got = codecs.decode(bytes(r["bytes"]), r["fmt"]).astype("float64")
+            want = a.reshape(1, 16 // lv, lv, 16 // lv, lv).mean(axis=(2, 4))
+            assert got.shape == (1, 16 // lv, 16 // lv)
+            assert np.allclose(got, np.clip(np.rint(want), 0, 255))
+
+
 class TestTinyexprParity:
     def test_fac_ncr_npr(self, spark):
         # the last three tinyexpr builtins (te factorial family)
