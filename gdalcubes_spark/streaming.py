@@ -78,6 +78,138 @@ def run_to_memory(query_df: DataFrame, name: str, output_mode: str = "complete")
     return q
 
 
+def streaming_scan(stream: DataFrame, view: CubeView, bands, chunking: Optional[ChunkGrid] = None,
+                   method: str = "mean", resampling: str = "near") -> DataFrame:
+    """INCREMENTAL raster_cube: maintain per-chunk aggregation state over a
+    stream of arriving images and emit the updated chunk tensor whenever new
+    scenes land in it — continuous ingest for a training-data lake, a
+    capability the batch-only reference cannot express.
+
+    Same plan shape as the batch scan (explode to covering chunk ids — all
+    JVM columns), then applyInPandasWithState keyed by chunk_id: the state
+    holds the DECOMPOSABLE partial (sum+count for mean; running min/max/sum/
+    count otherwise), so each micro-batch decodes only ITS images; emitted
+    rows carry the finalized tensor plus n_images_seen (monotone — consumers
+    keep the max per chunk). Supported methods: mean, min, max, sum,
+    count_values (the decomposable set; exact median needs all values and
+    stays a batch operation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gdalcubes_spark.cube import pack_tensor
+    from gdalcubes_spark.sources.raster_cube import _sample_image
+    from gdalcubes_spark.srs import parse_epsg
+
+    if method not in ("mean", "min", "max", "sum", "count_values"):
+        raise ValueError(f"streaming_scan supports decomposable methods only, not {method!r}")
+    g = chunking
+    if g is None:
+        from gdalcubes_spark.grid import default_chunking
+        g = default_chunking(view)
+    nb = len(bands)
+    view_epsg = parse_epsg(view.srs)
+    dx, dy, vleft, vtop = view.dx, view.dy, view.left, view.top
+
+    m = (stream
+         .withColumn("vleft", F.col("left")).withColumn("vright", F.col("right"))
+         .withColumn("vbottom", F.col("bottom")).withColumn("vtop", F.col("top"))
+         .withColumn("it", _time_index_col(view).cast("long"))
+         .filter((F.col("it") >= 0) & (F.col("it") < view.nt))
+         .withColumn("x0", F.greatest(F.lit(0), F.floor((F.col("vleft") - view.left) / dx)).cast("long"))
+         .withColumn("x1", F.least(F.lit(view.nx - 1), F.ceil((F.col("vright") - view.left) / dx - 1e-9) - 1).cast("long"))
+         .withColumn("y0", F.greatest(F.lit(0), F.floor((view.top - F.col("vtop")) / dy)).cast("long"))
+         .withColumn("y1", F.least(F.lit(view.ny - 1), F.ceil((view.top - F.col("vbottom")) / dy - 1e-9) - 1).cast("long"))
+         .filter((F.col("x0") <= F.col("x1")) & (F.col("y0") <= F.col("y1")))
+         .withColumn("kx", F.explode(F.sequence((F.col("x0") / g.cx).cast("long"),
+                                                (F.col("x1") / g.cx).cast("long"))))
+         .withColumn("ky", F.explode(F.sequence((F.col("y0") / g.cy).cast("long"),
+                                                (F.col("y1") / g.cy).cast("long"))))
+         .withColumn("chunk_id", (F.col("it") / g.ct).cast("long") * (g.ncy * g.ncx)
+                     + F.col("ky") * g.ncx + F.col("kx"))
+         .select("chunk_id", "it", "image_id", "bytes", "fmt", "nleft", "nright",
+                 "nbottom", "ntop", "epsg", "vleft", "vright", "vbottom", "vtop"))
+
+    out_schema = T.StructType([
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("ct", T.IntegerType(), False),
+        T.StructField("cy", T.IntegerType(), False),
+        T.StructField("cx", T.IntegerType(), False),
+        T.StructField("nb", T.IntegerType(), False),
+        T.StructField("nt", T.IntegerType(), False),
+        T.StructField("ny", T.IntegerType(), False),
+        T.StructField("nx", T.IntegerType(), False),
+        T.StructField("n_images_seen", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("acc", T.BinaryType(), False),
+        T.StructField("aux", T.BinaryType(), True),   # count tensor for mean
+        T.StructField("n_seen", T.LongType(), False),
+    ])
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        cid = int(key[0])
+        kt, ky, kx = g.chunk_coords(cid)
+        (t0c, t1c), (yy0, yy1), (xx0, xx1) = g.chunk_cell_range(kt, ky, kx)
+        shape = (nb, t1c - t0c, yy1 - yy0, xx1 - xx0)
+        if state.exists:
+            acc_b, aux_b, n_seen = state.get
+            acc = np.frombuffer(acc_b, dtype="<f8").reshape(shape).copy()
+            cnt = np.frombuffer(aux_b, dtype="<f8").reshape(shape).copy() if aux_b is not None else None
+        else:
+            acc = np.full(shape, np.nan)
+            cnt = np.zeros(shape) if method == "mean" else None
+            n_seen = 0
+        xs = vleft + (np.arange(xx0, xx1) + 0.5) * dx
+        ys = vtop - (np.arange(yy0, yy1) + 0.5) * dy
+        for pdf in pdf_iter:
+            c = {k: pdf[k].to_numpy() for k in pdf.columns}
+            for i in range(len(pdf)):
+                lt = int(c["it"][i]) - t0c
+                if not (0 <= lt < shape[1]):
+                    continue
+                res = _sample_image(c["bytes"][i], c["fmt"][i],
+                                    (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
+                                    int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb,
+                                    (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
+                                    None, dxv=dx, dyv=dy)
+                if res is None:
+                    continue
+                vals, oy, ox = res
+                hy, wx = vals.shape[1], vals.shape[2]
+                a = acc[:, lt, oy:oy + hy, ox:ox + wx]
+                ok = ~np.isnan(vals)
+                if method == "min":
+                    a[...] = np.fmin(a, vals)
+                elif method == "max":
+                    a[...] = np.fmax(a, vals)
+                elif method in ("sum", "mean", "count_values"):
+                    first = ok & np.isnan(a)
+                    a[first] = 0.0
+                    if method == "count_values":
+                        a[ok] += 1.0
+                    else:
+                        a[ok] += vals[ok]
+                    if cnt is not None:
+                        cnt[:, lt, oy:oy + hy, ox:ox + wx][ok] += 1
+                n_seen += 1
+        state.update((pack_tensor(acc), pack_tensor(cnt) if cnt is not None else None, n_seen))
+        if method == "mean":
+            with np.errstate(invalid="ignore"):
+                out = acc / np.maximum(cnt, 1)
+        else:
+            out = acc
+        return iter([pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=nb,
+                                        nt=shape[1], ny=shape[2], nx=shape[3],
+                                        n_images_seen=n_seen, data=pack_tensor(out))])])
+
+    return (m.groupBy("chunk_id")
+            .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def streaming_dedup(stream: DataFrame, key_expr: str = "md5(lower(trim(text)))",
                     id_col: str = "doc_id", timeout_minutes: int = 0) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): exactly-once

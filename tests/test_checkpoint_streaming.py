@@ -133,3 +133,45 @@ class TestStreaming:
         # the 5 clones in batch 2 must NOT re-emit under their new ids —
         # unless both copies arrived in the same first micro-batch (then min id wins)
         assert sum(1 for i in ids if i >= 100) == 5  # only the 5 new texts
+
+
+class TestStreamingScan:
+    def test_incremental_scan_matches_batch(self, spark, tmp_path):
+        """streaming_scan over two arrival batches == batch raster_cube(mean)
+        on the full inventory (the incremental-ingest invariant)."""
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.streaming import run_to_memory, streaming_inventory, streaming_scan
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                          ntime=2, tile_w=8, tile_h=8, nb=1, fmts=("raw",), overlap=0.25)
+        src = str(tmp_path / "scan_drops")
+        all_imgs = generate_images(spark, 16, lay)
+        all_imgs.filter("image_id < 'img_000000000008'").write.mode("overwrite").parquet(src)
+        all_imgs.filter("image_id >= 'img_000000000008'").write.mode("append").parquet(src)
+
+        v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                            t0="2021-01-01", t1="2021-01-02", dt="P1D", dx=0.5, dy=0.5,
+                            aggregation="mean", resampling="near")
+        g = ChunkGrid(nt=2, ny=8, nx=8, ct=1, cy=4, cx=4)
+
+        stream = streaming_inventory(spark, src, max_files_per_trigger=1)  # >1 micro-batch
+        out = streaming_scan(stream, v, ["B01"], chunking=g, method="mean")
+        run_to_memory(out, "incscan", output_mode="update")
+
+        # consumers keep the LAST update per chunk (n_images_seen is monotone)
+        rows = spark.sql("""
+            SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_id ORDER BY n_images_seen DESC) rn
+              FROM incscan) WHERE rn = 1""").collect()
+        got = np.full((1, v.nt, v.ny, v.nx), np.nan)
+        for r in rows:
+            t = np.frombuffer(r["data"], dtype="<f8").reshape(r["nb"], r["nt"], r["ny"], r["nx"])
+            (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(r["ct"], r["cy"], r["cx"])
+            got[:, t0:t1, y0:y1, x0:x1] = t
+
+        want = raster_cube(all_imgs, v, band_names(lay), chunking=g).collect_array()
+        assert np.allclose(np.nan_to_num(got, nan=-1), np.nan_to_num(want, nan=-1))
+        # statefulness really exercised: some chunk saw images in BOTH batches
+        multi = spark.sql("SELECT chunk_id, COUNT(*) c FROM incscan GROUP BY 1 HAVING c > 1")
+        assert multi.count() > 0
