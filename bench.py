@@ -141,6 +141,11 @@ def make_queries(sf: float):
                  .withColumn("band", F.lit("v")).select("it", "iy", "ix", "band", "value"))
         view = CubeView.create(srs="EPSG:4326", left=0, right=NX_, bottom=0, top=NY_,
                                t0="2021-01-01", t1="2021-01-24", dt="P1D", dx=1.0, dy=1.0)
+        # NOTE: chunking swept at sf0.1/local[32] — in a WARM session finer
+        # grids (12,25,25) halve the pipeline wall, but bench sessions are
+        # cold and the cold wall is dominated by input build + first-stage
+        # JIT, where the coarser grid measures faster (A/B interleaved runs);
+        # keep the coarse grid and read this row as stage-overhead-bound.
         g = ChunkGrid(nt=NT_, ny=NY_, nx=NX_, ct=4, cy=50, cx=50)
         c = Cube.from_cells(cells, view, ["v"], g)
         r = (c.fill_time("locf")
