@@ -261,6 +261,23 @@ class Cube:
                 pass  # no Iceberg catalog in this environment → parquet layout
         df.write.mode(mode).parquet(path)
 
+    def write_bucketed_table(self, table: str, buckets: int = 32, mode: str = "overwrite") -> None:
+        """Bucketed chunk-table sink: the table is pre-hash-partitioned by
+        chunk_id (bucketBy + sortBy), so every later equi-join or groupBy on
+        chunk_id over it — join_bands of two materialized cubes, checkpoint
+        diffs, chunk-keyed UDF stages — runs with NO Exchange: Catalyst reads
+        the bucket spec and reuses the on-disk hash distribution. This is the
+        Spark analogue of Iceberg's bucket(chunk_id) partition transform and
+        the co-location story for 100 TB cube⋈cube work."""
+        meta = dict(view=self.view.to_json(), bands=",".join(self.bands),
+                    ct=str(self.chunking.ct), cy=str(self.chunking.cy), cx=str(self.chunking.cx))
+        df = self.df
+        for k, val in meta.items():
+            df = df.withColumn(f"_meta_{k}", F.lit(val))
+        (df.write.format("parquet").mode(mode)
+         .bucketBy(buckets, "chunk_id").sortBy("chunk_id")
+         .saveAsTable(table))
+
     def iceberg_ddl(self, table: str = "gdalcubes.chunks") -> str:
         """The Iceberg CREATE TABLE matching write_parquet's layout —
         partitioned by ct (time-slab pruning, the analogue of the chunk-id
@@ -502,6 +519,19 @@ def cube_from_array(spark: SparkSession, arr: np.ndarray, view: CubeView,
         rows.append((cid, ict, icy, icx, nb, t1 - t0, y1 - y0, x1 - x0, pack_tensor(t)))
     df = spark.createDataFrame(rows, CHUNK_SCHEMA) if rows else spark.createDataFrame([], CHUNK_SCHEMA)
     return Cube(df, view, bands, g)
+
+
+def read_bucketed_cube(spark: SparkSession, table: str) -> Cube:
+    """Open a bucketed chunk table written by write_bucketed_table — the
+    DataFrame carries the bucket spec, so chunk_id joins/groupBys over it are
+    Exchange-free."""
+    df = spark.table(table)
+    meta = df.select("_meta_view", "_meta_bands", "_meta_ct", "_meta_cy", "_meta_cx").first()
+    view = CubeView.from_json(meta["_meta_view"])
+    bands = meta["_meta_bands"].split(",")
+    g = ChunkGrid(nt=view.nt, ny=view.ny, nx=view.nx, ct=int(meta["_meta_ct"]),
+                  cy=int(meta["_meta_cy"]), cx=int(meta["_meta_cx"]))
+    return Cube(df.select([f.name for f in CHUNK_SCHEMA.fields]), view, bands, g)
 
 
 def read_parquet_cube(spark: SparkSession, path: str) -> Cube:

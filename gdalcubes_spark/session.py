@@ -24,6 +24,10 @@ def get_spark(app: str = "gdalcubes_spark", cores: int | None = None, shuffle_pa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # bucketed chunk tables (write_bucketed_table) need a warehouse +
+        # metastore; keep both out of the repo/cwd
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/gdalcubes_warehouse"))
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/gdalcubes_derby")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

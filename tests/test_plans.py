@@ -58,6 +58,29 @@ class TestPlans:
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestBucketedJoin:
+    def test_join_bands_of_bucketed_tables_is_shuffle_free(self, spark):
+        """Co-located cube⋈cube: two cubes materialized with the SAME bucket
+        spec on chunk_id join WITHOUT any Exchange (the bucket distribution
+        satisfies the join requirement) — the 100 TB join_bands story."""
+        from gdalcubes_spark.cube import read_bucketed_cube
+        from gdalcubes_spark.operators.join_bands import join_bands
+        g = ChunkGrid(nt=6, ny=10, nx=10, ct=2, cy=5, cx=5)
+        a = dummy_cube(spark, view10(), 1, 1.0, chunking=g, band_names=["a"])
+        b = dummy_cube(spark, view10(), 1, 2.0, chunking=g, band_names=["b"])
+        a.write_bucketed_table("ta_bucketed", buckets=8)
+        b.write_bucketed_table("tb_bucketed", buckets=8)
+        ca = read_bucketed_cube(spark, "ta_bucketed")
+        cb = read_bucketed_cube(spark, "tb_bucketed")
+        j = join_bands([ca, cb])
+        plan = j.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        arr = j.collect_array()
+        assert arr.shape == (2, 6, 10, 10)
+        assert np.allclose(arr[0], 1.0) and np.allclose(arr[1], 2.0)
+        assert j.bands == ["a", "b"]
+
+
 class TestInventoryPartitionPruning:
     def test_partitioned_inventory_prunes_and_scans_correctly(self, spark, tmp_path):
         from gdalcubes_spark.sources.raster_cube import (inventory_partition_columns,
