@@ -274,6 +274,16 @@ class Cube:
         df = self.df
         for k, val in meta.items():
             df = df.withColumn(f"_meta_{k}", F.lit(val))
+        spark = df.sparkSession
+        if mode == "overwrite":
+            # a crashed/foreign session can leave the location on disk with no
+            # metastore entry; saveAsTable then fails with
+            # LOCATION_ALREADY_EXISTS — clear both halves first
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            import shutil
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = f"{wh.removeprefix('file:')}/{table.split('.')[-1].lower()}"
+            shutil.rmtree(loc, ignore_errors=True)
         (df.write.format("parquet").mode(mode)
          .bucketBy(buckets, "chunk_id").sortBy("chunk_id")
          .saveAsTable(table))
