@@ -139,6 +139,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.6, id_col: str = "doc_
     joins). At corpus scale every stage stays proportional to docs +
     candidate pairs, never to total shingle occurrences."""
     rows = n_hashes // bands
+    release_caches()  # drop caches from any prior LSH call in this session
     arr = _shingle_arrays(df, id_col, text_col, shingle_n).persist()
     _CACHED.append(arr)
     sig_cols = [F.array_min(F.transform(F.col("shingles"),
