@@ -311,15 +311,24 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_knn_tiles(spark, sf_dir):
-    """rows-only: image metadata is synthetic (not a DuckDB view); pytest
-    validates against brute force."""
+    """Exact kNN tile lookup, DuckDB-oracled: tile rectangles derive from
+    `part` (unit tiles on a 40x40 grid, centers at half-integers — exactly
+    representable doubles, and provably outside the ring-search boundary so
+    the completeness check never ties), query points from `customer`. The
+    ring equi-join result equals brute force; the oracle IS brute force."""
     from gdalcubes_spark.pipeline.knn import knn_tiles
-    from gdalcubes_spark.synth import ImageLayout, generate_images
-    lay = ImageLayout(left0=0, top0=8, tile_dx=1.0, tile_dy=1.0, gx=8, gy=8, ntime=1,
-                      tile_w=8, tile_h=8, nb=1, fmts=("raw",))
-    imgs = generate_images(spark, 64, lay).select("image_id", "left", "right", "bottom", "top")
-    pts = spark.createDataFrame([(i, 0.3 + (i * 37 % 80) / 10.0, 0.2 + (i * 53 % 80) / 10.0)
-                                 for i in range(12)], "qid long, x double, y double")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    imgs = part.select(
+        F.col("p_partkey").alias("image_id"),
+        (F.col("p_partkey") % 40).cast("double").alias("left"),
+        ((F.col("p_partkey") % 40) + 1).cast("double").alias("right"),
+        F.expr("CAST((p_partkey DIV 40) % 40 AS DOUBLE)").alias("bottom"),
+        F.expr("CAST((p_partkey DIV 40) % 40 + 1 AS DOUBLE)").alias("top"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter("c_custkey % 25 = 0")
+    pts = cust.select(
+        F.col("c_custkey").alias("qid"),
+        ((F.col("c_custkey") % 390) / F.lit(10.0) + F.lit(0.05)).alias("x"),
+        (((F.col("c_custkey") * 13) % 390) / F.lit(10.0) + F.lit(0.05)).alias("y"))
     return knn_tiles(imgs, pts, k=3, cell=1.0)
 
 
@@ -718,10 +727,28 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        "knn_tiles": """
+            WITH imgs AS (
+              SELECT p_partkey AS image_id,
+                     (p_partkey % 40) + 0.5 AS cxm,
+                     ((p_partkey // 40) % 40) + 0.5 AS cym
+              FROM part
+            ), pts AS (
+              SELECT c_custkey AS qid,
+                     (c_custkey % 390) / 10.0 + 0.05 AS x,
+                     ((c_custkey * 13) % 390) / 10.0 + 0.05 AS y
+              FROM customer WHERE c_custkey % 25 = 0
+            )
+            SELECT qid, image_id,
+                   ROUND(SQRT((x - cxm) * (x - cxm) + (y - cym) * (y - cym)), 9) AS dist
+            FROM pts CROSS JOIN imgs
+            QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY SQRT((x - cxm) * (x - cxm) + (y - cym) * (y - cym)) ASC, image_id ASC) <= 3
+        """,
         # rows-only (by design): dedup_simhash (64-bit JVM hashes), ann_lsh
-        # (approximate), knn_tiles + multimodal_features (synthetic binary
-        # inputs) and scan_monthly_median (image decode) — all covered by
-        # numpy/brute-force oracles in tests/.
+        # (approximate), multimodal_features (synthetic binary inputs) and
+        # scan_monthly_median (image decode) — all covered by numpy/
+        # brute-force oracles in tests/.
     }
 
 

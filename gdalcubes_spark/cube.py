@@ -21,7 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -80,6 +80,14 @@ class Cube:
     view: CubeView
     bands: List[str]
     chunking: ChunkGrid
+    # Narrow-op fusion state: when this cube's df was produced by map_chunks,
+    # _fuse_base is the pre-UDF DataFrame and _fuse_chain the tensor fns applied
+    # to it. A subsequent map_chunks composes onto the chain so N chained narrow
+    # ops cross the JVM↔Python Arrow boundary ONCE, not N times (the Python-side
+    # analogue of whole-stage codegen). df itself is always fully materialized
+    # and valid — fusion only changes how the NEXT narrow op builds its plan.
+    _fuse_base: Optional[DataFrame] = field(default=None, repr=False, compare=False)
+    _fuse_chain: tuple = field(default=(), repr=False, compare=False)
 
     # ------------------------------------------------------------------ meta
     @property
@@ -104,29 +112,48 @@ class Cube:
         """Narrow per-chunk tensor transform (no shuffle): fn(tensor,
         (ict,icy,icx)) → new tensor or None (→ empty chunk elision).
         Output chunk grid must keep the same (ct,cy,cx) chunk coordinates
-        unless out_chunking says otherwise."""
+        unless out_chunking says otherwise.
+
+        Chained narrow ops FUSE: if this cube itself came out of map_chunks,
+        the new fn is composed onto the existing tensor-fn chain over the
+        original pre-UDF DataFrame, so `apply_pixel → filter_pixel → reduce`
+        runs as ONE mapInPandas (one Arrow round-trip, one pack/unpack per
+        chunk) instead of one per operator. Legal because map_chunks preserves
+        chunk coordinates and dropping an all-NaN intermediate equals the
+        missing-chunk ≡ all-NaN invariant the unfused plan enforces between
+        stages."""
         view = out_view or self.view
         bands = list(out_bands or self.bands)
         chunking = out_chunking or self.chunking
+        base = self._fuse_base if self._fuse_base is not None else self.df
+        chain = tuple(self._fuse_chain) + (fn,)
 
         def gen(batches: Iterable[pd.DataFrame]):
             for pdf in batches:
                 out = []
                 for _, row in pdf.iterrows():
-                    t = tensor_of(row)
-                    r = fn(t, (int(row["ct"]), int(row["cy"]), int(row["cx"])))
-                    if r is None or (isinstance(r, np.ndarray) and np.all(np.isnan(r))):
+                    r = tensor_of(row)
+                    coords = (int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    for f in chain:
+                        r = f(r, coords)
+                        if r is None or (isinstance(r, np.ndarray) and np.all(np.isnan(r))):
+                            r = None
+                            break
+                    if r is None:
                         continue
                     nb, nt, ny, nx = r.shape
                     out.append(
-                        dict(chunk_id=int(row["chunk_id"]), ct=int(row["ct"]), cy=int(row["cy"]),
-                             cx=int(row["cx"]), nb=nb, nt=nt, ny=ny, nx=nx, data=pack_tensor(r))
+                        dict(chunk_id=int(row["chunk_id"]), ct=coords[0], cy=coords[1],
+                             cx=coords[2], nb=nb, nt=nt, ny=ny, nx=nx, data=pack_tensor(r))
                     )
                 yield pd.DataFrame(out, columns=[f.name for f in CHUNK_SCHEMA.fields]) if out else pd.DataFrame(
                     {f.name: pd.Series(dtype="object") for f in CHUNK_SCHEMA.fields}
                 )
 
-        return self._derive(self.df.mapInPandas(gen, CHUNK_SCHEMA), view, bands, chunking)
+        fused = self._derive(base.mapInPandas(gen, CHUNK_SCHEMA), view, bands, chunking)
+        fused._fuse_base = base
+        fused._fuse_chain = chain
+        return fused
 
     # ------------------------------------------------------------- long format
     def cells(self, drop_nan: bool = True, band_as_index: bool = False) -> DataFrame:

@@ -59,8 +59,11 @@ def knn_tiles(images_meta: DataFrame, points: DataFrame, k: int = 3, cell: float
                 )
         got = safe.filter(F.col("ok") & (F.col("rn") <= k)).select("qid", "image_id", F.round("dist", 9).alias("dist"))
         results = got if results is None else results.unionByName(got)
-        unresolved = safe.filter(~F.col("ok") | F.col("ok").isNull()).select("qid").distinct()
-        remaining = unresolved.join(points, "qid").select("qid", "x", "y")
+        # unresolved = remaining MINUS resolved (anti-join): deriving it from
+        # the candidate join would silently LOSE queries whose ring matched no
+        # occupied cell at all (they never reach the join output)
+        resolved = safe.filter(F.col("ok")).select("qid").distinct()
+        remaining = remaining.join(resolved, "qid", "left_anti").select("qid", "x", "y")
         if remaining.isEmpty():
             remaining = None
         r *= 2

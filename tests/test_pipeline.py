@@ -154,6 +154,32 @@ class TestKnnTiles:
             g = got[got.qid == qid].sort_values(["dist", "image_id"])["image_id"].tolist()
             assert g == want, (qid, g, want)
 
+    def test_sparse_corpus_keeps_zero_candidate_queries(self, spark):
+        """Regression: queries whose ring matches NO occupied cell used to be
+        derived from the join output and silently dropped (never reaching the
+        brute-force fallback). Tiles sit in one corner; queries far away must
+        still come back with exact k results."""
+        from gdalcubes_spark.pipeline.knn import knn_tiles
+        imgs = spark.createDataFrame(
+            [(i, float(i), float(i) + 1.0, 0.0, 1.0) for i in range(4)],
+            "image_id long, left double, right double, bottom double, top double")
+        pts = spark.createDataFrame(
+            [(1, 0.5, 0.5),      # next to the tiles — resolves at r=1
+             (2, 50.0, 50.0),    # ~70 cells away: no candidate until far past max_ring
+             (3, 200.0, 0.5)],   # ditto, on-axis
+            "qid long, x double, y double")
+        got = knn_tiles(imgs, pts, k=2, cell=1.0, max_ring=4).toPandas()
+        assert sorted(got["qid"].unique().tolist()) == [1, 2, 3]
+        assert (got.groupby("qid").size() == 2).all()
+        ipdf = imgs.toPandas()
+        for qid, x, y in [(1, 0.5, 0.5), (2, 50.0, 50.0), (3, 200.0, 0.5)]:
+            cx = (ipdf["left"] + ipdf["right"]) / 2
+            cy = (ipdf["bottom"] + ipdf["top"]) / 2
+            d = np.sqrt((cx - x) ** 2 + (cy - y) ** 2)
+            want = [img for _, img in sorted(zip(d.round(9), ipdf["image_id"]))[:2]]
+            g = got[got.qid == qid].sort_values(["dist", "image_id"])["image_id"].tolist()
+            assert g == want, (qid, g, want)
+
 
 class TestMultimodal:
     def test_decode_features(self, spark):
