@@ -284,6 +284,16 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_docs_with_clones(spark, sf_dir), max_hamming=4).select("ida", "idb", "hamming")
 
 
+def _q_dedup_simhash_md5(spark, sf_dir):
+    """Engine-agnostic SimHash (60-bit, md5 token hashes): the banded-bucket
+    near-dup join's output is compared against a DuckDB brute-force all-pairs
+    Hamming scan computing the IDENTICAL signatures — the one dedup pipeline
+    where signature, banding guarantee, and verify are all oracled at once."""
+    from gdalcubes_spark.pipeline.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs_with_clones(spark, sf_dir), max_hamming=3,
+                              hash_fn="md5").select("ida", "idb", "hamming")
+
+
 def _q_ann_topk(spark, sf_dir):
     from gdalcubes_spark.pipeline.similarity import brute_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -460,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_md5": _q_dedup_simhash_md5,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
@@ -726,6 +737,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "dedup_simhash_md5": "WITH " + _CLONES_SQL + """
+            , toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok FROM docs
+            ), h AS (
+              SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+              FROM toks WHERE tok <> ''
+            ), bs AS (
+              SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b
+            ), sig AS (
+              SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+              FROM bs GROUP BY doc_id
+            )
+            SELECT a.doc_id AS ida, b.doc_id AS idb, bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "knn_tiles": """
             WITH imgs AS (

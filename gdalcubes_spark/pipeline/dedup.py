@@ -187,12 +187,22 @@ def jaccard_pairs_shingles_exact(df: DataFrame, threshold: float = 0.6, id_col: 
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash: sign of per-bit weighted sums of token hashes —
-    entirely JVM aggregations (64 conditional sums in one groupBy pass)."""
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash: sign of per-bit weighted sums of token hashes — entirely JVM
+    aggregations (one conditional sum per bit in one groupBy pass).
+
+    hash_fn="xxhash64" (default): fastest, JVM-only, 64 bits.
+    hash_fn="md5": engine-agnostic 60-bit variant (first 15 hex chars of
+    md5(token)) — the exact same signature is computable in ANSI SQL/DuckDB,
+    which makes the whole near-dup pipeline oracle-able end to end."""
+    if hash_fn == "md5":
+        bits = min(bits, 60)  # 15 hex chars stay inside a signed 64-bit long
     toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("tok"))
             .filter(F.col("tok") != ""))
-    h = F.xxhash64("tok")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     aggs = [F.sum(F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias(f"s{i}")
             for i in range(bits)]
     sums = toks.groupBy(id_col).agg(*aggs)
@@ -250,7 +260,7 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup text pairs by SimHash over banded Hamming buckets."""
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col, hash_fn=hash_fn)
     return hash_near_pairs(sig, id_col, "simhash", max_hamming)
