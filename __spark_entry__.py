@@ -294,6 +294,18 @@ def _q_dedup_simhash_md5(spark, sf_dir):
                               hash_fn="md5").select("ida", "idb", "hamming")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: minhash-LSH pair graph → alternating
+    large-star/small-star connected components → every doc labeled with its
+    component min, cluster size, and a keep flag. Oracle: the exact-Jaccard
+    pair CTE + a recursive transitive-closure CTE in DuckDB."""
+    from gdalcubes_spark.pipeline.components import dedup_clusters
+    from gdalcubes_spark.pipeline.dedup import minhash_lsh_pairs
+    docs = _docs_with_clones(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_ann_topk(spark, sf_dir):
     from gdalcubes_spark.pipeline.similarity import brute_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -471,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
@@ -738,6 +751,28 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
+            , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
+                   FROM words CROSS JOIN range(0, 400) t(i) WHERE i <= greatest(len(ws)-3, 0)),
+            sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pe AS (SELECT ida a, idb b FROM inter
+                   JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+                   WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8),
+            sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+            walk(node, reach) AS (
+              SELECT doc_id, doc_id FROM docs
+              UNION
+              SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+            ),
+            lab AS (SELECT node AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY node),
+            sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+            SELECT l.doc_id, l.cluster, sz.cluster_size, (l.doc_id = l.cluster) AS keep
+            FROM lab l JOIN sz USING (cluster)
+        """,
         "dedup_simhash_md5": "WITH " + _CLONES_SQL + """
             , toks AS (
               SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok FROM docs
@@ -751,7 +786,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
               FROM bs GROUP BY doc_id
             )
-            SELECT a.doc_id AS ida, b.doc_id AS idb, bit_count(xor(a.sh, b.sh)) AS hamming
+            SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,

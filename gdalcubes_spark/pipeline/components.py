@@ -1,0 +1,107 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pairwise dedup (minhash_lsh_pairs / simhash_near_pairs / jaccard_pairs)
+yields EDGES; an actual dedup pass needs CLUSTERS — every document labeled
+with its duplicate-group id so one representative survives. At corpus scale
+the graph has billions of edges, so we use the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public literature): each round is two groupBy shuffles on
+node id, and the edge set converges to a star per component in O(log n)
+rounds even for path-shaped graphs (min-label propagation would need
+O(diameter) rounds).
+
+Spark shape: edges live in a DataFrame (src, dst); each star operation is a
+single groupBy(node).agg(min) joined back — all JVM aggregations, no Python.
+Lineage is cut with localCheckpoint every round (iterative plans otherwise
+stack O(rounds) shuffles into one Catalyst tree and planning time explodes);
+convergence is an aggregate equality check on (sum, count) of the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighborhood label.
+
+    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src").cast("long")).alias("m"))
+    # PySpark requires the grouped column inside agg via least() over min(dst)
+    return (sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to the smaller endpoint, then connect each node's small
+    neighbors (and itself) to the minimum of that set.
+
+    small-star(u): N⁻ = {v ∈ N(u) : v < u}; m = min(N⁻ ∪ {u});
+    emit (v, m) for v ∈ N⁻ ∪ {u}, v ≠ m."""
+    directed = (edges.select(F.greatest("src", "dst").alias("src"),
+                             F.least("src", "dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = directed.join(m, "src")
+    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edge = joined.select("src", F.col("m").alias("dst")).distinct()
+    return (to_min.union(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
+                         max_rounds: int = 25) -> DataFrame:
+    """Label every node of the pair graph with its component's MINIMUM id.
+
+    Returns (id, component). Isolated nodes don't appear in `pairs`, so they
+    don't appear here either — left-join and coalesce(component, id) at the
+    call site to label a full corpus."""
+    edges = (pairs.select(F.col(src).cast("long").alias("src"),
+                          F.col(dst).cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint())
+
+    def signature(e: DataFrame):
+        r = (e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+             .distinct()
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 40))).alias("s"))
+             .collect()[0])
+        return (r["n"], r["s"])
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged state: a star — every non-root points at its component min
+    comp = (edges.select(F.greatest("src", "dst").alias("id"),
+                         F.least("src", "dst").alias("component"))
+            .groupBy("id").agg(F.min("component").alias("component")))
+    roots = comp.select(F.col("component").alias("id"), F.col("component")).distinct()
+    return comp.unionByName(roots).distinct()
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   src: str = "ida", dst: str = "idb") -> DataFrame:
+    """Full-corpus duplicate clustering: every row of `df` labeled with its
+    cluster id (component min; singletons label themselves), plus the cluster
+    size and a keep flag on the representative. One broadcast-sized join per
+    corpus row — the expensive part is the pair graph, already bucketed."""
+    comp = connected_components(pairs, src, dst)
+    labeled = (df.select(F.col(id_col).cast("long").alias("id"))
+               .join(comp, "id", "left")
+               .select("id", F.coalesce("component", F.col("id")).alias("cluster")))
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (labeled.join(sizes, "cluster")
+            .select(F.col("id").alias(id_col), "cluster", "cluster_size",
+                    (F.col("id") == F.col("cluster")).alias("keep")))
