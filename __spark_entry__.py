@@ -294,6 +294,39 @@ def _q_dedup_simhash_md5(spark, sf_dir):
                               hash_fn="md5").select("ida", "idb", "hamming")
 
 
+def _q_sample_det(spark, sf_dir):
+    """Deterministic corpus sampling: md5-bucket filter — same rows every
+    run on any partitioning; the SQL oracle recomputes the identical hash."""
+    from gdalcubes_spark.pipeline.sampling import deterministic_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(d, 0.15).select("doc_id", "source")
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Stratified training-mix quota: exactly min(n, |group|) docs per source,
+    chosen by hash order (reproducible)."""
+    from gdalcubes_spark.pipeline.sampling import stratified_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(d, "source", 25).select("doc_id", "source")
+
+
+def _q_text_ngrams(spark, sf_dir):
+    """Top-50 bigrams by document frequency (vocabulary / contamination
+    audit): per-row distinct-gram arrays in codegen, one shuffle, TakeOrdered."""
+    from gdalcubes_spark.pipeline.text import ngram_counts
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(d, n=2, k=50)
+
+
+def _q_seq_pack(spark, sf_dir):
+    """rows-only: FFD bin packing is algorithmic (not SQL-expressible);
+    pytest pins the invariants (every doc once, fills ≤ max_len, FFD bound,
+    partitioning-independent determinism)."""
+    from gdalcubes_spark.pipeline.seqpack import pack_sequences
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(d, max_len=512, len_col="n_chars", n_buckets=16)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: minhash-LSH pair graph → alternating
     large-star/small-star connected components → every doc labeled with its
@@ -484,6 +517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "dedup_clusters": _q_dedup_clusters,
+        "sample_det": _q_sample_det,
+        "sample_stratified": _q_sample_stratified,
+        "text_ngrams": _q_text_ngrams,
+        "seq_pack": _q_seq_pack,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
@@ -751,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        "sample_det": _sample_det_oracle(),
+        "sample_stratified": _sample_strat_oracle(),
+        "text_ngrams": _text_ngrams_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
             , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
             sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
@@ -814,6 +854,28 @@ def oracle_sql() -> dict[str, str]:
         # scan_monthly_median (image decode) — all covered by numpy/
         # brute-force oracles in tests/.
     }
+
+
+def _sample_det_oracle() -> str:
+    from gdalcubes_spark.pipeline.sampling import hash_bucket_sql
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE {hash_bucket_sql('doc_id')} < 150000
+    """
+
+
+def _sample_strat_oracle() -> str:
+    from gdalcubes_spark.pipeline.sampling import hash_bucket_sql
+    return f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY {hash_bucket_sql('doc_id')} ASC, doc_id ASC) <= 25
+    """
+
+
+def _text_ngrams_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import ngram_counts_sql
+    return ngram_counts_sql(n=2, k=50)
 
 
 def _text_winnow_oracle() -> str:

@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines draw reproducible
+samples (same rows on every run, on any cluster size, in any row order) and
+domain-stratified mixes ("200k docs per source"). Both need a sampling
+decision that is a pure function of the ROW, not of partitioning or RNG
+state — we hash a key column to a uniform bucket.
+
+Engine-agnostic by construction: the hash is the first 15 hex chars of
+md5(key) (same trick as the md5 SimHash / winnowing fingerprints), so the
+exact same sample is computable in ANSI SQL — sampling decisions can be
+audited outside Spark.
+
+Scale shape: deterministic_sample is a pure filter (no shuffle, fully
+pushdown-friendly); stratified_sample is one window per group ordered by
+hash (one shuffle on the group key — the unavoidable minimum, since a
+per-group quota is a per-group top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key_col: str):
+    """Uniform bucket in [0, 1e6) from md5 — identical in DuckDB SQL."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_bucket_sql(key_col: str) -> str:
+    """DuckDB rendering of _hash_bucket (same values bit-for-bit)."""
+    return (f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT) "
+            f"% {_BUCKETS}")
+
+
+def deterministic_sample(df: DataFrame, fraction: float, key_col: str = "doc_id") -> DataFrame:
+    """Keep rows whose hash bucket falls below fraction. Same rows every run,
+    independent of partitioning/order; a plain filter, so Catalyst pushes it
+    into the scan."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_bucket(key_col) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen by hash order —
+    reproducible quota sampling (training-mix construction). One shuffle on
+    the group key; ties broken by the key column so results are total-order
+    deterministic."""
+    w = W.partitionBy(group_col).orderBy(_hash_bucket(key_col).asc(), F.col(key_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per_group)
+            .drop("_rk"))

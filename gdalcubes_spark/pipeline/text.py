@@ -147,3 +147,36 @@ def rolling_fingerprints_sql(col: str = "text", window: int = 8, keep: int = 4,
           )
         ) WHERE rn <= {keep}
     """
+
+
+def ngram_counts(df: DataFrame, n: int = 2, k: int = 100, col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency (vocabulary/contamination
+    analysis over a training corpus). Per-row n-gram arrays are built inside
+    codegen (transform → array_distinct — no per-occurrence rows), so the
+    explode emits at most one row per (doc, distinct n-gram) and the count is
+    one shuffle; the global top-k is a TakeOrdered (no full sort). Ordering is
+    total (count desc, ngram asc) so results are deterministic under ties."""
+    words = F.split(F.lower(F.trim(F.col(col))), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    return (df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+            .limit(k))
+
+
+def ngram_counts_sql(n: int = 2, k: int = 100, col: str = "text",
+                     table: str = "documents") -> str:
+    """DuckDB rendering of ngram_counts (same grams, counts, and ordering)."""
+    return f"""
+        SELECT ngram, doc_freq FROM (
+          SELECT ngram, COUNT(*) AS doc_freq FROM (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + {n} AS INTEGER)], ' ') AS ngram
+            FROM (SELECT doc_id, string_split_regex(lower(trim({col})), '\\s+') AS ws FROM {table})
+            CROSS JOIN range(0, 100000) t(i)
+            WHERE i <= greatest(len(ws) - {n}, 0)
+          ) GROUP BY ngram
+        ) ORDER BY doc_freq DESC, ngram ASC LIMIT {k}
+    """

@@ -1,0 +1,89 @@
+"""Training-data pipeline ops: deterministic sampling, stratified quotas,
+sequence packing, n-gram vocabulary counts."""
+
+import collections
+import math
+
+import pandas as pd
+import pytest
+
+from gdalcubes_spark.pipeline.sampling import deterministic_sample, stratified_sample
+from gdalcubes_spark.pipeline.seqpack import pack_sequences
+from gdalcubes_spark.pipeline.text import ngram_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+class TestDeterministicSample:
+    def test_reproducible_and_nested(self, spark, docs):
+        a1 = set(r["doc_id"] for r in deterministic_sample(docs, 0.2).collect())
+        a2 = set(r["doc_id"] for r in deterministic_sample(docs.repartition(7), 0.2).collect())
+        assert a1 == a2  # partitioning-independent
+        small = set(r["doc_id"] for r in deterministic_sample(docs, 0.05).collect())
+        assert small <= a1  # hash-threshold samples nest
+        n = docs.count()
+        assert 0.1 * n < len(a1) < 0.35 * n  # roughly the asked fraction
+
+    def test_bounds(self, spark, docs):
+        assert deterministic_sample(docs, 0.0).count() == 0
+        assert deterministic_sample(docs, 1.0).count() == docs.count()
+        with pytest.raises(ValueError):
+            deterministic_sample(docs, 1.5)
+
+
+class TestStratifiedSample:
+    def test_exact_quota_per_group(self, spark, docs):
+        out = stratified_sample(docs, "source", 7).groupBy("source").count().collect()
+        want = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+        for r in out:
+            assert r["count"] == min(7, want[r["source"]])
+
+    def test_partitioning_independent(self, spark, docs):
+        a = set(r["doc_id"] for r in stratified_sample(docs, "source", 5).collect())
+        b = set(r["doc_id"] for r in stratified_sample(docs.repartition(11), "source", 5).collect())
+        assert a == b
+
+
+class TestPackSequences:
+    MAX = 512
+
+    def _packed(self, spark, docs):
+        return pack_sequences(docs, max_len=self.MAX, len_col="n_chars",
+                              n_buckets=16).toPandas()
+
+    def test_invariants(self, spark, docs):
+        out = self._packed(spark, docs)
+        n = docs.count()
+        assert len(out) == n and out["doc_id"].nunique() == n  # every doc exactly once
+        fill = out.assign(clipped=out["n_tokens"].clip(upper=self.MAX)) \
+                  .groupby("bin")["clipped"].sum()
+        assert (fill <= self.MAX).all()  # no bin over budget
+        assert (out["truncated"] == (out["n_tokens"] > self.MAX)).all()
+        # FFD quality: bins within 11/9*LB + 1 per bucket
+        for bucket, grp in out.groupby("bucket"):
+            lb = math.ceil(grp["n_tokens"].clip(upper=self.MAX).sum() / self.MAX)
+            nbins = grp["bin"].nunique()
+            assert nbins <= math.ceil(11 / 9 * lb) + 1, (bucket, nbins, lb)
+
+    def test_deterministic(self, spark, docs):
+        a = self._packed(spark, docs).sort_values("doc_id").reset_index(drop=True)
+        b = pack_sequences(docs.repartition(13), max_len=self.MAX, len_col="n_chars",
+                           n_buckets=16).toPandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestNgramCounts:
+    def test_matches_python_counter(self, spark, docs):
+        got = [(r["ngram"], r["doc_freq"]) for r in ngram_counts(docs, n=2, k=25).collect()]
+        cnt = collections.Counter()
+        for r in docs.select("text").collect():
+            ws = r["text"].lower().strip().split()
+            grams = set(" ".join(ws[i:i + 2]) for i in range(max(len(ws) - 1, 1)))
+            cnt.update(grams)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        assert got == want
