@@ -229,6 +229,15 @@ def run(sf_dir: str, cores: int, queries=None):
         qs = {k: v for k, v in qs.items() if k in queries}
     times, rows = {}, {}
     for name, fn in qs.items():
+        # hygiene OUTSIDE the timed window: drop caches left by the previous
+        # query and let the JVM collect, so query N's wall doesn't pay query
+        # N-1's heap pressure (observed 2-3x inflation on dedup_lsh mid-suite
+        # vs standalone)
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.time()
         rows[name] = int(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
