@@ -176,8 +176,19 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
     # chunk-mask pruning analogue (extract_geom.cpp:164-218): only chunks with
     # candidate features enter the cogroup — a semi-join Catalyst can broadcast
     pruned = cube.df.join(fb.select("chunk_id").distinct(), "chunk_id", "left_semi")
-    joined = pruned.groupBy("chunk_id").cogroup(fb.groupBy("chunk_id")).applyInPandas(
-        lambda left, right: gather(left, right), out_schema)
+    # pin the cogroup's task count: the PIP/extract work per chunk is far
+    # heavier per byte than columnar work, so AQE's byte-based coalescing
+    # collapses it onto 1-2 tasks (same pathology as the scan's decode
+    # shuffle, raster_cube._scan_partitions); explicit repartition on BOTH
+    # sides satisfies the clustering requirement and AQE leaves it alone
+    try:
+        par = cube.df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = 32
+    nparts = max(1, min(g.n_chunks, 4 * par))
+    joined = (pruned.repartition(nparts, "chunk_id").groupBy("chunk_id")
+              .cogroup(fb.repartition(nparts, "chunk_id").groupBy("chunk_id"))
+              .applyInPandas(lambda left, right: gather(left, right), out_schema))
     return joined
 
 

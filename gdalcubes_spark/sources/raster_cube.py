@@ -435,7 +435,17 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                             build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
                                        mask_idx, nb_payload, band_idx, out_idx))
     else:
-        out = exploded.groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA)
+        # Pin the decode shuffle's task count: AQE coalesces by POST-SHUFFLE
+        # BYTES, but this stage's rows are compressed image refs whose decode/
+        # warp cost is orders of magnitude larger per byte than columnar work —
+        # byte-based coalescing was observed collapsing 32 cores' worth of
+        # decode into 5 tasks. An explicit repartition(n, chunk_id) satisfies
+        # the groupBy's clustering (no second exchange) and AQE leaves
+        # user-numbered repartitions alone. n = 4x parallelism oversubscription
+        # (scheduler slack for per-chunk cost variance), capped by chunk count.
+        nparts = _scan_partitions(exploded, g)
+        out = (exploded.repartition(nparts, "chunk_id")
+               .groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA))
         cube = Cube(out, view, out_bands, g)
     # select_bands pushdown hook: rebuilding the scan with fewer bands
     cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
@@ -558,9 +568,21 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
                                   ny=shape[2], nx=shape[3], data=pack_tensor(acc))])
 
     salted = exploded.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
-    part = salted.groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema)
+    nparts = _scan_partitions(exploded, g, mult=salt)
+    part = (salted.repartition(nparts, "chunk_id", "_salt")
+            .groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema))
     out = part.groupBy("chunk_id").applyInPandas(merge, CHUNK_SCHEMA)
     return Cube(out, view, list(bands), g)
+
+
+def _scan_partitions(df: DataFrame, g, mult: int = 1) -> int:
+    """Task count for the decode shuffle: ≥ cluster parallelism regardless of
+    shuffle-byte statistics (see the AQE note at the call site)."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = 32
+    return max(1, min(g.n_chunks * max(mult, 1), 4 * par))
 
 
 def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",
