@@ -57,6 +57,26 @@ CELL_SCHEMA = T.StructType(
 )
 
 
+def pin_group_partitions(df: DataFrame, keys, n_groups: int) -> DataFrame:
+    """Repartition by `keys` with an EXPLICIT partition count before a
+    groupBy().applyInPandas over chunk tensors.
+
+    AQE coalesces post-shuffle partitions by byte size, but tensor-UDF stages
+    (decode, focal windows, PIP extraction, exact-median gathers) cost orders
+    of magnitude more per byte than columnar work — byte-based coalescing was
+    observed collapsing 32 cores' worth of decode onto 5 tasks. A
+    user-numbered repartition satisfies the downstream clustering requirement
+    (no second exchange) and AQE leaves it alone. Count = 4× cluster
+    parallelism (scheduler slack for per-group cost variance), capped by the
+    number of groups."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = 32
+    n = max(1, min(int(n_groups), 4 * par))
+    return df.repartition(n, *([keys] if isinstance(keys, str) else list(keys)))
+
+
 def tensor_of(row) -> np.ndarray:
     """Decode a chunk row's payload into an (nb, nt, ny, nx) float64 array."""
     return np.frombuffer(row["data"], dtype="<f8").reshape(
@@ -232,7 +252,8 @@ class Cube:
                       data=pack_tensor(t))]
             )
 
-        out = df.groupBy("chunk_id").applyInPandas(assemble, CHUNK_SCHEMA)
+        out = (pin_group_partitions(df, "chunk_id", chunking.n_chunks)
+               .groupBy("chunk_id").applyInPandas(assemble, CHUNK_SCHEMA))
         return Cube(out, view, list(bands), chunking)
 
     # ---------------------------------------------------------------- collect

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdalcubes_spark.cube import Cube, tensor_of
+from gdalcubes_spark.cube import Cube, pin_group_partitions, tensor_of
 from gdalcubes_spark.geom import parse_wkt
 from gdalcubes_spark.grid import Datetime
 
@@ -176,18 +176,10 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
     # chunk-mask pruning analogue (extract_geom.cpp:164-218): only chunks with
     # candidate features enter the cogroup — a semi-join Catalyst can broadcast
     pruned = cube.df.join(fb.select("chunk_id").distinct(), "chunk_id", "left_semi")
-    # pin the cogroup's task count: the PIP/extract work per chunk is far
-    # heavier per byte than columnar work, so AQE's byte-based coalescing
-    # collapses it onto 1-2 tasks (same pathology as the scan's decode
-    # shuffle, raster_cube._scan_partitions); explicit repartition on BOTH
-    # sides satisfies the clustering requirement and AQE leaves it alone
-    try:
-        par = cube.df.sparkSession.sparkContext.defaultParallelism
-    except Exception:
-        par = 32
-    nparts = max(1, min(g.n_chunks, 4 * par))
-    joined = (pruned.repartition(nparts, "chunk_id").groupBy("chunk_id")
-              .cogroup(fb.repartition(nparts, "chunk_id").groupBy("chunk_id"))
+    # pin the cogroup's task count on BOTH sides (PIP/extract cost per byte ≫
+    # columnar work — see pin_group_partitions' AQE note)
+    joined = (pin_group_partitions(pruned, "chunk_id", g.n_chunks).groupBy("chunk_id")
+              .cogroup(pin_group_partitions(fb, "chunk_id", g.n_chunks).groupBy("chunk_id"))
               .applyInPandas(lambda left, right: gather(left, right), out_schema))
     return joined
 

@@ -27,7 +27,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, tensor_of
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, pin_group_partitions, tensor_of
 from gdalcubes_spark.grid import ChunkGrid
 from gdalcubes_spark import reducers as R
 
@@ -184,7 +184,8 @@ def reduce_time(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] =
 
     from pyspark.sql import functions as F
     keyed = cube.df.withColumn("skey", F.col("cy").cast("long") * g.ncx + F.col("cx"))
-    out_df = keyed.groupBy("skey").applyInPandas(gather, CHUNK_SCHEMA)
+    out_df = (pin_group_partitions(keyed, "skey", g.ncy * g.ncx)
+              .groupBy("skey").applyInPandas(gather, CHUNK_SCHEMA))
     return Cube(out_df, out_view, out_bands, gout)
 
 

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, tensor_of
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, pin_group_partitions, tensor_of
 from gdalcubes_spark.operators.reduce import parse_pairs
 
 _WINDOW_REDUCERS = {
@@ -143,7 +143,8 @@ def window_time(cube: Cube, window: Sequence[int], reducer=None, kernel=None) ->
         return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=out.shape[0], nt=ntc,
                                   ny=ny, nx=nx, data=pack_tensor(out))])
 
-    df = cube.df.mapInPandas(emit, halo_schema).groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA)
+    df = (pin_group_partitions(cube.df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
+          .groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA))
     return Cube(df, view, out_bands, g)
 
 
@@ -291,7 +292,8 @@ def window_space(cube: Cube, reducer=None, kernel=None, window: Optional[Sequenc
         return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=out.shape[0], nt=ntc,
                                   ny=ny, nx=nx, data=pack_tensor(out))])
 
-    df = cube.df.mapInPandas(emit, halo_schema).groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA)
+    df = (pin_group_partitions(cube.df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
+          .groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA))
     return Cube(df, view, out_bands, g)
 
 
@@ -366,5 +368,6 @@ def fill_time(cube: Cube, method: str = "linear") -> Cube:
             pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
 
     keyed = cube.df.withColumn("skey", F.col("cy").cast("long") * g.ncx + F.col("cx"))
-    df = keyed.groupBy("skey").applyInPandas(gather, CHUNK_SCHEMA)
+    df = (pin_group_partitions(keyed, "skey", g.ncy * g.ncx)
+          .groupBy("skey").applyInPandas(gather, CHUNK_SCHEMA))
     return Cube(df, view, list(cube.bands), g)

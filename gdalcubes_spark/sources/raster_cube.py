@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gdalcubes_spark import codecs
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, pin_group_partitions
 from gdalcubes_spark.sources import resample as RS
 from gdalcubes_spark.grid import ChunkGrid, CubeView, Unit, default_chunking
 from gdalcubes_spark.srs import Transformer, parse_epsg
@@ -443,8 +443,7 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
         # the groupBy's clustering (no second exchange) and AQE leaves
         # user-numbered repartitions alone. n = 4x parallelism oversubscription
         # (scheduler slack for per-chunk cost variance), capped by chunk count.
-        nparts = _scan_partitions(exploded, g)
-        out = (exploded.repartition(nparts, "chunk_id")
+        out = (pin_group_partitions(exploded, "chunk_id", g.n_chunks)
                .groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA))
         cube = Cube(out, view, out_bands, g)
     # select_bands pushdown hook: rebuilding the scan with fewer bands
@@ -568,21 +567,10 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
                                   ny=shape[2], nx=shape[3], data=pack_tensor(acc))])
 
     salted = exploded.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
-    nparts = _scan_partitions(exploded, g, mult=salt)
-    part = (salted.repartition(nparts, "chunk_id", "_salt")
+    part = (pin_group_partitions(salted, ["chunk_id", "_salt"], g.n_chunks * salt)
             .groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema))
     out = part.groupBy("chunk_id").applyInPandas(merge, CHUNK_SCHEMA)
     return Cube(out, view, list(bands), g)
-
-
-def _scan_partitions(df: DataFrame, g, mult: int = 1) -> int:
-    """Task count for the decode shuffle: ≥ cluster parallelism regardless of
-    shuffle-byte statistics (see the AQE note at the call site)."""
-    try:
-        par = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:
-        par = 32
-    return max(1, min(g.n_chunks * max(mult, 1), 4 * par))
 
 
 def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",
