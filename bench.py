@@ -161,6 +161,17 @@ def make_queries(sf: float):
                         F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
         return minhash_lsh_pairs(d.unionByName(near), threshold=0.7).count()
 
+    def dedup_clusters(spark, sf_dir):
+        """Pair graph → connected components (large-star/small-star) → full
+        corpus labeled with cluster id/size/keep — the end-to-end dedup pass."""
+        from gdalcubes_spark.pipeline.components import dedup_clusters as dc
+        from gdalcubes_spark.pipeline.dedup import minhash_lsh_pairs
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        near = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+        docs = d.unionByName(near)
+        return dc(docs, minhash_lsh_pairs(docs, threshold=0.7)).count()
+
     def dedup_jaccard_skew(spark, sf_dir):
         """Skew-guard row (north-rule hot-key story): every doc carries
         doc-unique tokens PLUS one corpus-wide hot token, and each doc has an
@@ -198,6 +209,7 @@ def make_queries(sf: float):
         "scan_from_table": scan_from_table,
         "cube_pipeline": cube_pipeline,
         "dedup_lsh": dedup_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_jaccard_skew": dedup_jaccard_skew,
         "ann_topk": ann_topk,
         "text_stats": text_stats,
