@@ -365,6 +365,31 @@ def _q_ann_lsh(spark, sf_dir):
     return hyperplane_lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """rows-only: approximate by design (probe n_probe of n_centroids lists);
+    pytest reports recall vs brute force."""
+    from gdalcubes_spark.pipeline.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def _q_apply_time_cumsum(spark, sf_dir):
+    """apply_time (per-pixel time-series UDF, the R streaming analogue)
+    running a cumulative sum along t — the one per-pixel-series op a SQL
+    window can reproduce, so the streamed-UDF path gets a DuckDB oracle.
+    Absent slices count as 0 in the running sum but the output stays NaN
+    there (s*0.0 re-poisons), matching SUM() OVER (PARTITION BY cell ORDER BY
+    it) over the present-rows-only oracle CTE; both sum in ascending-t order,
+    so the doubles are bit-identical."""
+    import numpy as np
+    from gdalcubes_spark.operators.stream import apply_time
+    c = _lineitem_cube(spark, sf_dir)
+    r = apply_time(c, lambda s: np.cumsum(np.nan_to_num(s, nan=0.0), axis=1) + s * 0.0,
+                   names=["v_csum"])
+    return r.cells().select("it", "iy", "ix", "band", "value")
+
+
 def _q_knn_tiles(spark, sf_dir):
     """Exact kNN tile lookup, DuckDB-oracled: tile rectangles derive from
     `part` (unit tiles on a 40x40 grid, centers at half-integers — exactly
@@ -524,7 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "knn_tiles": _q_knn_tiles,
+        "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "multimodal_features": _q_multimodal_features,
         "events_window": _q_events_window,
         "phash_neardup": _q_phash_neardup,
@@ -787,6 +814,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "cube_apply_time_cumsum": _CELLS_CTE + """
+            SELECT it, iy, ix, CAST('v_csum' AS VARCHAR) AS band,
+                   SUM(value) OVER (PARTITION BY iy, ix ORDER BY it
+                                    ROWS UNBOUNDED PRECEDING) AS value
+            FROM cells
         """,
         "sample_det": _sample_det_oracle(),
         "sample_stratified": _sample_strat_oracle(),
