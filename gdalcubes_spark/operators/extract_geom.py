@@ -43,9 +43,16 @@ def _feature_bbox(wkt: str):
     return g.bbox
 
 
-def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = None) -> DataFrame:
+def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = None,
+                 _partials: bool = False) -> DataFrame:
     """features: DataFrame(fid long, wkt string[, <time_column> timestamp]).
-    Returns long DataFrame (fid, it, time, <band>...), all-NaN rows dropped."""
+    Returns long DataFrame (fid, it, time, <band>...), all-NaN rows dropped.
+
+    _partials (internal, used by zonal_stats' combinable fast path): instead
+    of one row per covered CELL, emit one row per (feature, slice, chunk)
+    carrying per-band partial states (count/sum/min/max). At scale the long
+    form is O(covered cells) rows through Arrow; partials are O(features ×
+    chunks) — the map-side-combine shape of the zonal aggregation."""
     view, g = cube.view, cube.chunking
     bands = list(cube.bands)
     vleft, vtop, dx, dy = view.left, view.top, view.dx, view.dy
@@ -113,17 +120,27 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
 
     time_strings = [view.datetime_at_index(i).to_string() for i in range(view.nt)]
     safe = [re.sub(r"\W", "_", b) for b in bands]
-    out_schema = T.StructType(
-        [T.StructField("fid", T.LongType(), False),
-         T.StructField("it", T.IntegerType(), False),
-         T.StructField("time", T.StringType(), False)]
-        + [T.StructField(s, T.DoubleType(), True) for s in safe]
-    )
+    if _partials:
+        out_schema = T.StructType(
+            [T.StructField("fid", T.LongType(), False),
+             T.StructField("it", T.IntegerType(), False),
+             T.StructField("time", T.StringType(), False)]
+            + [f for s in safe for f in (
+                T.StructField(f"{s}__cnt", T.LongType(), False),
+                T.StructField(f"{s}__sum", T.DoubleType(), True),
+                T.StructField(f"{s}__min", T.DoubleType(), True),
+                T.StructField(f"{s}__max", T.DoubleType(), True))]
+        )
+    else:
+        out_schema = T.StructType(
+            [T.StructField("fid", T.LongType(), False),
+             T.StructField("it", T.IntegerType(), False),
+             T.StructField("time", T.StringType(), False)]
+            + [T.StructField(s, T.DoubleType(), True) for s in safe]
+        )
 
     def gather(chunks: pd.DataFrame, feats_: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"fid": pd.Series(dtype="int64"), "it": pd.Series(dtype="int32"),
-                              "time": pd.Series(dtype="object"),
-                              **{s: pd.Series(dtype="float64") for s in safe}})
+        empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
         if len(chunks) == 0 or len(feats_) == 0:
             return empty
         row = chunks.iloc[0]
@@ -169,8 +186,20 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
                 if not keep.any():
                     continue
                 d = {"fid": int(f["fid"]), "it": it, "time": time_strings[it]}
-                frame = pd.DataFrame({**d, **{s: vals[bi, keep] for bi, s in enumerate(safe)}})
-                frames.append(frame)
+                if _partials:
+                    v = vals[:, keep]
+                    ok = ~np.isnan(v)
+                    with np.errstate(all="ignore"):
+                        for bi, s in enumerate(safe):
+                            vb = v[bi][ok[bi]]
+                            d[f"{s}__cnt"] = int(len(vb))
+                            d[f"{s}__sum"] = float(vb.sum()) if len(vb) else None
+                            d[f"{s}__min"] = float(vb.min()) if len(vb) else None
+                            d[f"{s}__max"] = float(vb.max()) if len(vb) else None
+                    frames.append(pd.DataFrame([d]))
+                else:
+                    frame = pd.DataFrame({**d, **{s: vals[bi, keep] for bi, s in enumerate(safe)}})
+                    frames.append(frame)
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     # chunk-mask pruning analogue (extract_geom.cpp:164-218): only chunks with
@@ -189,17 +218,40 @@ ZONAL_FUNCS = {"min": F.min, "max": F.max, "mean": F.avg, "sum": F.sum, "count":
                "var": F.var_samp, "sd": F.stddev_samp}
 
 
+_COMBINABLE_ZONAL = {"min", "max", "mean", "sum", "count"}
+
+
 def zonal_stats(cube: Cube, features: DataFrame, funcs: List[str], by_time: bool = True,
                 time_column: Optional[str] = None) -> DataFrame:
-    """groupBy(FID[, time]).agg over extract_geom rows (R/extract.R:118-127)."""
-    long = extract_geom(cube, features, time_column=time_column)
-    safe = [re.sub(r"\W", "_", b) for b in cube.bands]
-    aggs = []
+    """groupBy(FID[, time]).agg over extract_geom rows (R/extract.R:118-127).
+
+    When every requested function is COMBINABLE (min/max/mean/sum/count), the
+    per-cell long form is never materialized: each (feature, slice, chunk)
+    contributes one partial-state row and the aggregation merges states —
+    rows through the shuffle drop from O(covered cells) to O(features ×
+    chunks). median/var/sd need the values and take the long-form path."""
     for fn in funcs:
         if fn not in ZONAL_FUNCS:
             raise ValueError(f"unknown zonal function {fn!r}")
+    safe = [re.sub(r"\W", "_", b) for b in cube.bands]
+    keys = ["fid", "time"] if by_time else ["fid"]
+
+    if all(fn in _COMBINABLE_ZONAL for fn in funcs):
+        part = extract_geom(cube, features, time_column=time_column, _partials=True)
+        merged = {
+            "count": lambda s: F.sum(f"{s}__cnt"),
+            "sum": lambda s: F.sum(f"{s}__sum"),
+            "min": lambda s: F.min(f"{s}__min"),
+            "max": lambda s: F.max(f"{s}__max"),
+            "mean": lambda s: F.sum(f"{s}__sum") / F.sum(f"{s}__cnt"),
+        }
+        aggs = [merged[fn](s).alias(f"{s}_{fn}") for fn in funcs for s in safe]
+        return part.groupBy(*keys).agg(*aggs)
+
+    long = extract_geom(cube, features, time_column=time_column)
+    aggs = []
+    for fn in funcs:
         for s in safe:
             col = ZONAL_FUNCS[fn](s) if fn != "median" else F.expr(f"percentile({s}, 0.5)")
             aggs.append(col.alias(f"{s}_{fn}"))
-    keys = ["fid", "time"] if by_time else ["fid"]
     return long.groupBy(*keys).agg(*aggs)

@@ -113,3 +113,31 @@ class TestExtractGeom:
         assert np.allclose(pdf["vx_count"], 100)
         assert np.allclose(pdf["vx_min"], 0.0)
         assert np.allclose(pdf["vx_max"], 9.0)
+
+    def test_partial_fast_path_matches_long_form(self, spark):
+        """Combinable-only zonal stats take the partial-state path (one row
+        per feature×slice×chunk through the shuffle); results must equal the
+        long-form path exactly — including per-band NaN handling where one
+        band is NaN and another isn't in the same cell."""
+        v = grid_view()
+        g = ChunkGrid(nt=3, ny=10, nx=10, ct=1, cy=4, cx=4)
+        c = (dummy_cube(spark, v, 1, 1.0, chunking=g)
+             .apply_pixel(["ix + iy", "(ix % 2 == 0) * iy / (ix % 2 == 0)"],
+                          ["a", "b"]))  # b is NaN on odd ix (0/0), a never NaN
+        feats = spark.createDataFrame([(1, rect_wkt(0, 0, 10, 10)),
+                                       (2, rect_wkt(3, 3, 8, 9))],
+                                      "fid long, wkt string")
+        funcs = ["mean", "count", "min", "max", "sum"]
+        fast = zonal_stats(c, feats, funcs, by_time=True).toPandas() \
+            .sort_values(["fid", "time"]).reset_index(drop=True)
+        # force the long-form path by asking for median too, then dropping it
+        slow = zonal_stats(c, feats, funcs + ["median"], by_time=True).toPandas() \
+            .sort_values(["fid", "time"]).reset_index(drop=True)
+        slow = slow[[col for col in slow.columns if not col.endswith("_median")]]
+        assert list(fast.columns) == list(slow.columns)
+        for col in fast.columns:
+            if fast[col].dtype == object:
+                assert (fast[col] == slow[col]).all(), col
+            else:
+                assert np.allclose(fast[col].astype(float), slow[col].astype(float),
+                                   equal_nan=True), col
