@@ -318,6 +318,23 @@ def _q_text_ngrams(spark, sf_dir):
     return ngram_counts(d, n=2, k=50)
 
 
+def _q_text_quality_by_source(spark, sf_dir):
+    """Per-source quality distribution (training-mix audit): exact quartiles
+    of the codegen quality score, grouped by source. Spark `percentile` and
+    DuckDB `quantile_cont` share the HF-7 linear-interpolation definition
+    (same alignment as the cube_reduce_quantiles oracle)."""
+    from gdalcubes_spark.pipeline.text import quality_sql
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = d.select("source", F.expr(quality_sql("text")).alias("q"))
+    return (q.groupBy("source").agg(
+        F.expr("percentile(q, 0.25)").alias("q1"),
+        F.expr("percentile(q, 0.5)").alias("q2"),
+        F.expr("percentile(q, 0.75)").alias("q3"),
+        F.count("*").alias("n_docs"))
+        .select("source", F.round("q1", 6).alias("q1"), F.round("q2", 6).alias("q2"),
+                F.round("q3", 6).alias("q3"), "n_docs"))
+
+
 def _q_seq_pack(spark, sf_dir):
     """rows-only: FFD bin packing is algorithmic (not SQL-expressible);
     pytest pins the invariants (every doc once, fills ≤ max_len, FFD bound,
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_det": _q_sample_det,
         "sample_stratified": _q_sample_stratified,
         "text_ngrams": _q_text_ngrams,
+        "text_quality_by_source": _q_text_quality_by_source,
         "seq_pack": _q_seq_pack,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
@@ -824,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_det": _sample_det_oracle(),
         "sample_stratified": _sample_strat_oracle(),
         "text_ngrams": _text_ngrams_oracle(),
+        "text_quality_by_source": _text_quality_by_source_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
             , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
             sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
@@ -903,6 +922,18 @@ def _sample_strat_oracle() -> str:
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source
             ORDER BY {hash_bucket_sql('doc_id')} ASC, doc_id ASC) <= 25
+    """
+
+
+def _text_quality_by_source_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import quality_sql
+    return f"""
+        WITH q AS (SELECT source, {quality_sql('text')} AS q FROM documents)
+        SELECT source, ROUND(quantile_cont(q, 0.25), 6) AS q1,
+               ROUND(quantile_cont(q, 0.5), 6) AS q2,
+               ROUND(quantile_cont(q, 0.75), 6) AS q3,
+               COUNT(*) AS n_docs
+        FROM q GROUP BY source
     """
 
 
