@@ -84,6 +84,31 @@ def tensor_of(row) -> np.ndarray:
     )
 
 
+def chunk_stream(cube):
+    """(df, xform) for WIDE operators consuming a cube's chunk rows inside
+    their own UDF: `df` is the DataFrame to map over and `xform(tensor,
+    (ct,cy,cx)) -> tensor | None` applies any pending fused narrow chain
+    (None ⇒ treat the chunk as elided/all-NaN, same invariant as map_chunks).
+
+    Using this instead of `cube.df` + `tensor_of` lets a narrow chain fuse
+    INTO the wide op's first UDF — e.g. scan → apply_pixel → reduce gather
+    runs the apply inside the gather's emit, removing a standalone
+    mapInPandas node (one full-cube Arrow round-trip)."""
+    base = cube._fuse_base if cube._fuse_base is not None else cube.df
+    chain = tuple(cube._fuse_chain or ())
+    if not chain:
+        return cube.df, (lambda t, coords: t)
+
+    def xform(t, coords):
+        for f in chain:
+            t = f(t, coords)
+            if t is None or (isinstance(t, np.ndarray) and np.all(np.isnan(t))):
+                return None
+        return t
+
+    return base, xform
+
+
 def pack_tensor(a: np.ndarray) -> bytes:
     return np.ascontiguousarray(a, dtype="<f8").tobytes()
 
@@ -194,12 +219,17 @@ class Cube:
             ]
         )
 
+        base_df, xf = chunk_stream(self)  # fuse any pending narrow chain in here
+
         def gen(batches: Iterable[pd.DataFrame]):
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    t = tensor_of(row)
+                    coords = (int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    t = xf(tensor_of(row), coords)
+                    if t is None:
+                        continue
                     nb, nt, ny, nx = t.shape
-                    (t0, _), (y0, _), (x0, _) = g.chunk_cell_range(int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    (t0, _), (y0, _), (x0, _) = g.chunk_cell_range(*coords)
                     bi, ti, yi, xi = np.unravel_index(np.arange(t.size), t.shape)
                     v = t.ravel()
                     if drop_nan:
@@ -220,7 +250,7 @@ class Cube:
                          value=pd.Series(dtype="float64"))
                 )
 
-        return self.df.mapInPandas(gen, schema)
+        return base_df.mapInPandas(gen, schema)
 
     @staticmethod
     def from_cells(cells_df: DataFrame, view: CubeView, bands: List[str], chunking: ChunkGrid) -> "Cube":

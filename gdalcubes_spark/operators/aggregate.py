@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, tensor_of
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, chunk_stream, pack_tensor, tensor_of
 from gdalcubes_spark.grid import ChunkGrid, Duration
 
 AGG_METHODS = ("mean", "min", "max", "median", "count", "var", "sd", "prod", "sum")
@@ -56,12 +56,16 @@ def _aggregate(cube: Cube, out_view, gout: ChunkGrid, t_map: np.ndarray,
     g = cube.chunking
     nb = len(cube.bands)
 
+    base_df, _xf = chunk_stream(cube)  # fuse any pending narrow chain in here
+
     def cut(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                tsr = tensor_of(row)
                 ict, icy, icx = int(row["ct"]), int(row["cy"]), int(row["cx"])
+                tsr = _xf(tensor_of(row), (ict, icy, icx))
+                if tsr is None:
+                    continue
                 (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(ict, icy, icx)
                 ot = t_map[t0:t1]
                 oy = y_map[y0:y1]
@@ -122,7 +126,7 @@ def _aggregate(cube: Cube, out_view, gout: ChunkGrid, t_map: np.ndarray,
         return pd.DataFrame([dict(chunk_id=ocid, ct=kt, cy=ky, cx=kx, nb=nb, nt=ntc,
                                   ny=nyc, nx=nxc, data=pack_tensor(t))])
 
-    out_df = cube.df.mapInPandas(cut, _PIECE_SCHEMA).groupBy("ocid").applyInPandas(merge, CHUNK_SCHEMA)
+    out_df = base_df.mapInPandas(cut, _PIECE_SCHEMA).groupBy("ocid").applyInPandas(merge, CHUNK_SCHEMA)
     return Cube(out_df, out_view, list(cube.bands), gout)
 
 

@@ -27,7 +27,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, pin_group_partitions, tensor_of
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, chunk_stream, pack_tensor, pin_group_partitions, tensor_of
 from gdalcubes_spark.grid import ChunkGrid
 from gdalcubes_spark import reducers as R
 
@@ -106,12 +106,17 @@ def reduce_time(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] =
             T.StructField("state", T.BinaryType(), False),
         ])
 
+        base_df, xf = chunk_stream(cube)  # fuse any pending narrow chain in here
+
         def mk_partial(batches: Iterable[pd.DataFrame]):
             for pdf in batches:
                 rows = []
                 for _, row in pdf.iterrows():
-                    t = tensor_of(row)
-                    (t0, t1), _, _ = g.chunk_cell_range(int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    coords = (int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    t = xf(tensor_of(row), coords)
+                    if t is None:
+                        continue
+                    (t0, t1), _, _ = g.chunk_cell_range(*coords)
                     its = np.arange(t0, t1)
                     td = _t_doubles(view, its)
                     blobs = []
@@ -156,7 +161,7 @@ def reduce_time(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] =
             return pd.DataFrame([dict(chunk_id=cid, ct=0, cy=cy, cx=cx, nb=t.shape[0], nt=1,
                                       ny=ny, nx=nx, data=pack_tensor(t))])
 
-        part = cube.df.mapInPandas(mk_partial, part_schema)
+        part = base_df.mapInPandas(mk_partial, part_schema)
         out_df = part.groupBy("skey").applyInPandas(merge_group, CHUNK_SCHEMA)
         return Cube(out_df, out_view, out_bands, gout)
 
@@ -216,11 +221,15 @@ def reduce_space(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] 
             T.StructField("state", T.BinaryType(), False),
         ])
 
+        base_df, xf = chunk_stream(cube)  # fuse any pending narrow chain in here
+
         def mk_partial(batches: Iterable[pd.DataFrame]):
             for pdf in batches:
                 rows = []
                 for _, row in pdf.iterrows():
-                    t = tensor_of(row)
+                    t = xf(tensor_of(row), (int(row["ct"]), int(row["cy"]), int(row["cx"])))
+                    if t is None:
+                        continue
                     nb, nt, ny, nx = t.shape
                     blobs = []
                     for r, bi in zip(rnames, bidx):
@@ -261,7 +270,7 @@ def reduce_space(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] 
             return pd.DataFrame([dict(chunk_id=gout.chunk_id(ict, 0, 0), ct=ict, cy=0, cx=0,
                                       nb=t.shape[0], nt=nt, ny=1, nx=1, data=pack_tensor(t))])
 
-        part = cube.df.mapInPandas(mk_partial, part_schema)
+        part = base_df.mapInPandas(mk_partial, part_schema)
         out_df = part.groupBy("ct").applyInPandas(merge_group, CHUNK_SCHEMA)
         return Cube(out_df, out_view, out_bands, gout)
 

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, pack_tensor, pin_group_partitions, tensor_of
+from gdalcubes_spark.cube import CHUNK_SCHEMA, Cube, chunk_stream, pack_tensor, pin_group_partitions, tensor_of
 from gdalcubes_spark.operators.reduce import parse_pairs
 
 _WINDOW_REDUCERS = {
@@ -103,12 +103,16 @@ def window_time(cube: Cube, window: Sequence[int], reducer=None, kernel=None) ->
         T.StructField("data", T.BinaryType(), False),
     ])
 
+    base_df, _xf = chunk_stream(cube)  # fuse any pending narrow chain in here
+
     def emit(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                t_ = tensor_of(row)
                 ict, icy, icx = int(row["ct"]), int(row["cy"]), int(row["cx"])
+                t_ = _xf(tensor_of(row), (ict, icy, icx))
+                if t_ is None:
+                    continue
                 (t0, t1), _, _ = g.chunk_cell_range(ict, icy, icx)
                 for kt in range(max(0, (t0 - r) // g.ct), min(g.nct - 1, (t1 - 1 + l) // g.ct) + 1):
                     (kt0, kt1), _, _ = g.chunk_cell_range(kt, icy, icx)
@@ -143,7 +147,7 @@ def window_time(cube: Cube, window: Sequence[int], reducer=None, kernel=None) ->
         return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=out.shape[0], nt=ntc,
                                   ny=ny, nx=nx, data=pack_tensor(out))])
 
-    df = (pin_group_partitions(cube.df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
+    df = (pin_group_partitions(base_df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
           .groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA))
     return Cube(df, view, out_bands, g)
 
@@ -239,12 +243,16 @@ def window_space(cube: Cube, reducer=None, kernel=None, window: Optional[Sequenc
         T.StructField("data", T.BinaryType(), False),
     ])
 
+    base_df, _xf = chunk_stream(cube)  # fuse any pending narrow chain in here
+
     def emit(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                t_ = tensor_of(row)
                 ict, icy, icx = int(row["ct"]), int(row["cy"]), int(row["cx"])
+                t_ = _xf(tensor_of(row), (ict, icy, icx))
+                if t_ is None:
+                    continue
                 _, (y0, y1), (x0, x1) = g.chunk_cell_range(ict, icy, icx)
                 for ky in range(max(0, (y0 - hy) // g.cy), min(g.ncy - 1, (y1 - 1 + hy) // g.cy) + 1):
                     for kx in range(max(0, (x0 - hx) // g.cx), min(g.ncx - 1, (x1 - 1 + hx) // g.cx) + 1):
@@ -292,7 +300,7 @@ def window_space(cube: Cube, reducer=None, kernel=None, window: Optional[Sequenc
         return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=out.shape[0], nt=ntc,
                                   ny=ny, nx=nx, data=pack_tensor(out))])
 
-    df = (pin_group_partitions(cube.df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
+    df = (pin_group_partitions(base_df.mapInPandas(emit, halo_schema), "tkey", g.n_chunks)
           .groupBy("tkey").applyInPandas(assemble, CHUNK_SCHEMA))
     return Cube(df, view, out_bands, g)
 

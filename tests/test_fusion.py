@@ -66,6 +66,29 @@ class TestFusion:
         a = mid.collect_array()
         assert np.allclose(a, 2.0)
 
+    def test_chain_fuses_into_wide_op_partial(self, spark):
+        """A pending narrow chain composes into the PRE-SHUFFLE UDF of wide
+        ops (reduce partial, window halo emit, aggregate cut, cells) — the
+        standalone chain node disappears. nct>1 + combinable reducer forces
+        the partial/merge path: dummy source + fused partial + merge = 3
+        Python nodes (was 4 with a separate apply_pixel node)."""
+        v = _view()
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=4, cx=4)  # nct=4
+        c = dummy_cube(spark, v, band_names=["b"], fill=2.0, chunking=g)
+        r = c.apply_pixel("b*3", names=["x"]).reduce_time("mean(x)")
+        plan = r.df._jdf.queryExecution().executedPlan().toString()
+        assert _py_nodes(r.df) + plan.count("FlatMapGroupsInPandas") == 3
+        a = r.collect_array()
+        assert a.shape == (1, 1, 8, 8)
+        assert np.allclose(a, 6.0)
+
+    def test_chain_fuses_into_cells(self, spark):
+        c = dummy_cube(spark, _view(), band_names=["b"], fill=1.5)
+        cells = c.apply_pixel("b*4", names=["y"]).cells()
+        assert _py_nodes(cells) == 2  # dummy source + fused cells gen
+        row = cells.limit(1).collect()[0]
+        assert row["value"] == 6.0 and row["band"] == "y"
+
     def test_all_nan_intermediate_elides(self, spark):
         """A fn producing all-NaN mid-chain drops the chunk exactly like the
         unfused plan (missing chunk ≡ all-NaN invariant)."""
