@@ -175,3 +175,25 @@ class TestStreamingScan:
         # statefulness really exercised: some chunk saw images in BOTH batches
         multi = spark.sql("SELECT chunk_id, COUNT(*) c FROM incscan GROUP BY 1 HAVING c > 1")
         assert multi.count() > 0
+
+
+class TestStreamingTrainingOps:
+    def test_streaming_deterministic_sample_matches_batch(self, spark, tmp_path):
+        """deterministic_sample is a stateless row-wise filter, so it composes
+        with Structured Streaming unchanged — a streaming ingest keeps exactly
+        the rows the batch sample keeps (the property that makes the sampling
+        decision auditable at the pipeline's ingest edge)."""
+        import shutil as _sh
+        from gdalcubes_spark.pipeline.sampling import deterministic_sample
+        from gdalcubes_spark.streaming import run_to_memory
+        src = str(tmp_path / "docstream")
+        os.makedirs(src, exist_ok=True)
+        _sh.copy("/root/testdata/sf0.001/documents.parquet", src + "/part-0.parquet")
+        batch = spark.read.parquet(src)
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sampled = deterministic_sample(stream, 0.2).select("doc_id")
+        run_to_memory(sampled, "s_sample", output_mode="append")
+        got = set(r["doc_id"] for r in spark.sql("SELECT doc_id FROM s_sample").collect())
+        want = set(r["doc_id"] for r in deterministic_sample(batch, 0.2).select("doc_id").collect())
+        assert got == want and len(got) > 0
