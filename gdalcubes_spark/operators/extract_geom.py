@@ -193,9 +193,9 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
                         for bi, s in enumerate(safe):
                             vb = v[bi][ok[bi]]
                             d[f"{s}__cnt"] = int(len(vb))
-                            d[f"{s}__sum"] = float(vb.sum()) if len(vb) else None
-                            d[f"{s}__min"] = float(vb.min()) if len(vb) else None
-                            d[f"{s}__max"] = float(vb.max()) if len(vb) else None
+                            d[f"{s}__sum"] = float(vb.sum()) if len(vb) else np.nan
+                            d[f"{s}__min"] = float(vb.min()) if len(vb) else np.nan
+                            d[f"{s}__max"] = float(vb.max()) if len(vb) else np.nan
                     frames.append(pd.DataFrame([d]))
                 else:
                     frame = pd.DataFrame({**d, **{s: vals[bi, keep] for bi, s in enumerate(safe)}})
