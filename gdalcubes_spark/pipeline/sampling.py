@@ -48,12 +48,36 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str = "doc_id"
 
 
 def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
-                      key_col: str = "doc_id") -> DataFrame:
+                      key_col: str = "doc_id", oversample: int = 4) -> DataFrame:
     """Exactly min(n, group size) rows per group, chosen by hash order —
-    reproducible quota sampling (training-mix construction). One shuffle on
-    the group key; ties broken by the key column so results are total-order
-    deterministic."""
-    w = W.partitionBy(group_col).orderBy(_hash_bucket(key_col).asc(), F.col(key_col).asc())
-    return (df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n_per_group)
-            .drop("_rk"))
+    reproducible quota sampling (training-mix construction).
+
+    Scale shape: a plain per-group row_number window funnels each group
+    through ONE task — a billion-row domain would serialize. Instead, a
+    per-group hash-bucket THRESHOLD (broadcast from the group counts) first
+    cuts each group to ~oversample·n candidate rows (a narrow filter), and
+    the window ranks only the candidates. Exactness is guaranteed, not
+    probabilistic: every excluded row has a LARGER bucket than every
+    candidate, so the true top-n by (bucket, key) order lies inside the
+    candidate set whenever the group produced ≥ min(n, group size)
+    candidates; the rare short group (binomial tail) is re-ranked without
+    the filter. Output is identical to the one-window form on any input."""
+    cols = df.columns
+    hb = _hash_bucket(key_col)
+    with_b = df.withColumn("_hb", hb)
+    counts = with_b.groupBy(group_col).agg(F.count("*").alias("_m"))
+    thr = F.least(F.lit(_BUCKETS),
+                  F.ceil(F.lit(float(oversample * n_per_group) * _BUCKETS) / F.col("_m"))).cast("long")
+    lim = F.broadcast(counts.select(group_col, thr.alias("_thr"), "_m"))
+    cand = with_b.join(lim, group_col).filter(F.col("_hb") < F.col("_thr"))
+    w = W.partitionBy(group_col).orderBy(F.col("_hb").asc(), F.col(key_col).asc())
+    ranked = cand.withColumn("_rk", F.row_number().over(w))
+    got = ranked.groupBy(group_col).agg(F.count("*").alias("_got"), F.first("_m").alias("_m2"))
+    short = got.filter(F.col("_got") < F.least(F.lit(n_per_group), F.col("_m2"))).select(group_col)
+    picked = (ranked.join(F.broadcast(short), group_col, "left_anti")
+              .filter(F.col("_rk") <= n_per_group).select(*cols))
+    # fallback: re-rank short groups over ALL their rows (exactness guarantee)
+    fb_rows = with_b.join(F.broadcast(short), group_col)
+    fb = (fb_rows.withColumn("_rk", F.row_number().over(w))
+          .filter(F.col("_rk") <= n_per_group).select(*cols))
+    return picked.unionByName(fb)

@@ -48,6 +48,16 @@ class TestStratifiedSample:
         b = set(r["doc_id"] for r in stratified_sample(docs.repartition(11), "source", 5).collect())
         assert a == b
 
+    def test_oversample_invariant_exercises_fallback(self, spark, docs):
+        """The two-phase threshold cut must return the IDENTICAL sample for
+        any oversample factor — oversample=1 leaves ~half the groups short of
+        quota (binomial mean == n), so the exact re-rank fallback runs and
+        must splice in the same rows the one-window form would pick."""
+        want = set(r["doc_id"] for r in stratified_sample(docs, "source", 20, oversample=4).collect())
+        for ov in (1, 2):
+            got = set(r["doc_id"] for r in stratified_sample(docs, "source", 20, oversample=ov).collect())
+            assert got == want, ov
+
 
 class TestPackSequences:
     MAX = 512
