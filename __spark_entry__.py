@@ -365,13 +365,16 @@ def _q_ann_topk(spark, sf_dir):
 
 def _q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: plant scaled clones (cosine exactly 1 with
-    their source), find all pairs ≥ 0.999 — exact, oracle-checked."""
-    from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs
+    their source), find all pairs ≥ 0.999. Runs the BUCKETED path
+    (hyperplane sign buckets → executor-side exact verify, no driver pass);
+    scaled clones have identical sign patterns, so recall on them is exact
+    and the DuckDB all-pairs oracle still matches hash-for-hash."""
+    from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
     clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
                         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
-    return cosine_neardup_pairs(emb.unionByName(clones), threshold=0.999)
+    return cosine_neardup_pairs_bucketed(emb.unionByName(clones), threshold=0.999)
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -448,6 +451,50 @@ def _q_phash_neardup(spark, sf_dir):
                       hot_every=5)  # hot images share the tile → identical phash
     imgs = generate_images(spark, 64, lay)
     return phash_near_pairs(imgs, max_hamming=4)
+
+
+def _q_phash_neardup_md5(spark, sf_dir):
+    """Fully-oracled Hamming near-dup over an int64 signature column: 60-bit
+    md5 'phash' values derived from doc_id (identical in DuckDB), clones
+    planted by XOR-ing ≤2 bits. The banded-bucket join + pigeonhole guarantee
+    is hash-checked against a DuckDB all-pairs bit_count(xor) scan."""
+    from gdalcubes_spark.pipeline.dedup import hash_near_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter("doc_id < 400")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    base = d.select(F.col("doc_id").alias("id"), h.alias("phash"))
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 57 AS INT)) | "
+                  "shiftleft(CAST(1 AS BIGINT), CAST((id * 7) % 57 AS INT))")
+    clones = base.filter("id % 3 = 0").select(
+        (F.col("id") + 500000).alias("id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"))
+    return (hash_near_pairs(base.unionByName(clones), "id", "phash", max_hamming=4)
+            .select("ida", "idb", F.col("hamming").cast("int").alias("hamming")))
+
+
+def _q_seq_pack_stats(spark, sf_dir):
+    """SQL-checkable invariants of the FFD packing (bin CONTENTS are
+    algorithmic, but per-bucket token sums and the packing guarantees are
+    not): bucket_tokens must equal the raw per-bucket sums, and the three
+    booleans — every bin within capacity, at most one ≤half-full bin per
+    bucket (the first-fit property), bins ≥ ceil(tokens/cap) — must all be
+    TRUE, which is exactly what the oracle row asserts."""
+    from gdalcubes_spark.pipeline.seqpack import pack_sequences
+    max_len = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(d, max_len=max_len, len_col="n_chars", n_buckets=16)
+    capped = F.least(F.col("n_tokens"), F.lit(max_len))
+    bins = packed.groupBy("bucket", "bin").agg(F.sum(capped).alias("fill"))
+    per_bucket = bins.groupBy("bucket").agg(
+        F.count("*").alias("bins_used"),
+        F.max("fill").alias("max_fill"),
+        F.sum(F.when(F.col("fill") * 2 <= max_len, 1).otherwise(0)).alias("n_half"),
+        F.sum("fill").alias("btok"))
+    return (per_bucket.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("btok").cast("long").alias("bucket_tokens"),
+        (F.col("max_fill") <= max_len).alias("within_cap"),
+        (F.col("n_half") <= 1).alias("halffull_ok"),
+        (F.col("bins_used") >= F.ceil(F.col("btok") / max_len)).alias("bins_ge_lb")))
 
 
 def _q_events_window(spark, sf_dir):
@@ -573,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "events_window": _q_events_window,
         "phash_neardup": _q_phash_neardup,
+        "phash_neardup_md5": _q_phash_neardup_md5,
+        "seq_pack_stats": _q_seq_pack_stats,
     }
 
 
@@ -900,6 +949,35 @@ def oracle_sql() -> dict[str, str]:
             FROM pts CROSS JOIN imgs
             QUALIFY row_number() OVER (PARTITION BY qid
                 ORDER BY SQRT((x - cxm) * (x - cxm) + (y - cym) * (y - cym)) ASC, image_id ASC) <= 3
+        """,
+        "phash_neardup_md5": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS phash
+              FROM documents WHERE doc_id < 400
+            ), sig AS (
+              SELECT id, phash FROM base
+              UNION ALL
+              SELECT id + 500000,
+                     xor(phash, (CAST(1 AS BIGINT) << CAST(id % 57 AS INTEGER))
+                                | (CAST(1 AS BIGINT) << CAST((id * 7) % 57 AS INTEGER)))
+              FROM base WHERE id % 3 = 0
+            )
+            SELECT a.id AS ida, b.id AS idb,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        "seq_pack_stats": """
+            WITH src AS (
+              SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 16 AS INTEGER) AS bucket,
+                     LEAST(n_chars, 512) AS ln
+              FROM documents
+            )
+            SELECT bucket, CAST(SUM(ln) AS BIGINT) AS bucket_tokens,
+                   TRUE AS within_cap, TRUE AS halffull_ok, TRUE AS bins_ge_lb
+            FROM src GROUP BY bucket
         """,
         # rows-only (by design): dedup_simhash (64-bit JVM hashes), ann_lsh
         # (approximate), multimodal_features (synthetic binary inputs) and

@@ -110,6 +110,17 @@ def read_checkpoint(spark: SparkSession, path: str) -> Cube:
     return Cube(df.select([f.name for f in CHUNK_SCHEMA.fields]), view, list(lin["bands"]), g)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so s3a://, hdfs://
+    and file: URIs all resolve against the filesystem the EXECUTING cluster
+    sees — a driver-local os.path.exists would report a remote checkpoint as
+    absent and let resume() silently overwrite committed chunks."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def resume(cube: Cube, path: str) -> int:
     """Compute + append only the chunks NOT already committed at `path`
     (exact resume after job loss). Returns number of chunks appended."""
@@ -117,7 +128,7 @@ def resume(cube: Cube, path: str) -> int:
     # Fall back to a fresh full write ONLY when the checkpoint genuinely does
     # not exist; a transient read error (storage/permission) must propagate
     # instead of silently discarding previously committed chunks.
-    if not os.path.exists(f"{path}/_lineage.json") and not os.path.exists(f"{path}/chunks"):
+    if not _fs_exists(spark, f"{path}/_lineage.json") and not _fs_exists(spark, f"{path}/chunks"):
         write_checkpoint(cube, path, mode="overwrite")
         return -1
     done = spark.read.parquet(f"{path}/chunks").select("chunk_id").distinct()

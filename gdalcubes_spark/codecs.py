@@ -5,12 +5,13 @@ input table.
 - "png":  real PNG (RFC 2083 structure) via zlib — lossless; supports 8-bit
   greyscale (1 band) and RGB (3 bands), no interlace. Implemented from the
   public PNG spec; exercised by the lossless end-to-end tests.
-- "jpeg": this container has no JPEG library (no PIL). The codec is a
-  clearly-marked DETERMINISTIC STUB: encode quantizes pixel values to
-  multiples of 4 and stores them raw — a stand-in lossy transform whose
-  PSNR vs the original (~46 dB) exercises the PSNR≥40dB acceptance path.
-  The Spark-side plumbing (binary column, batch decode in Arrow UDFs) is
-  real; swap `_jpeg_*` for libjpeg bindings in production.
+- "jpeg": REAL baseline JFIF via the in-repo pure-numpy codec
+  (jpegcodec.py; ITU-T T.81 DCT + Huffman, Annex K tables, IJG quality
+  scaling). Encode emits genuine JFIF bytes any JPEG library can read;
+  decode handles any baseline (SOF0) stream incl. 4:2:0 and restart
+  markers. 2-band/multispectral tensors are stored band-sequential
+  (per-band greyscale JFIFs behind a length-prefixed GCJM header). The
+  round-1/2 deterministic stub payloads (GCJ1) remain decodable.
 
 Decoded pixel values are uint8 (0..255) → float64 at cube level, like GDAL
 band data entering gdalcubes (image_collection.h:49).
@@ -102,25 +103,55 @@ def _png_decode(b: bytes) -> np.ndarray:
     return np.moveaxis(out.reshape(h, w, nb), -1, 0)
 
 
-# ------------------------------------------------------------------- jpeg (stub)
+# ------------------------------------------------------------------- jpeg
 
-_JPEG_MAGIC = b"GCJ1"
-JPEG_QUANT = 4  # stub quantization step → PSNR ≈ 20*log10(255/(q/sqrt(12))) ≈ 46 dB
+_JPEG_MAGIC = b"GCJ1"  # legacy round-1/2 stub payloads (still decodable)
+JPEG_QUALITY = 97      # default IJG quality — clears the PSNR≥40dB input
+                       # gate with margin even on hard (sharp-edge) content
+
+
+_JPEGPACK_MAGIC = b"GCJM"  # band-sequential pack of per-band JFIFs (nb ∉ {1,3})
 
 
 def _jpeg_encode(a: np.ndarray) -> bytes:
-    """DETERMINISTIC LOSSY STUB (no libjpeg in this environment)."""
-    q = (np.round(a.astype(np.float64) / JPEG_QUANT) * JPEG_QUANT).clip(0, 255).astype(np.uint8)
-    return _JPEG_MAGIC + _raw_encode(q)
+    """REAL baseline JFIF bytes via the in-repo pure-numpy codec
+    (jpegcodec.py, implemented from ITU-T T.81 / JFIF 1.02): actual
+    DCT + quantization + Huffman, deterministic, decodable by any JPEG
+    library. Swap for libjpeg bindings on a production cluster for speed;
+    the bytes are interchangeable.
+
+    JPEG has no 2-band (or >3-band) mode, so multispectral tensors are
+    stored band-sequential — one genuine greyscale JFIF per band behind a
+    tiny length-prefixed header (the JPEG-in-container layout multispectral
+    products actually use)."""
+    from gdalcubes_spark.jpegcodec import encode_baseline
+    nb = a.shape[0]
+    if nb in (1, 3):
+        return encode_baseline(a, quality=JPEG_QUALITY, subsampling="444")
+    parts = [encode_baseline(a[b:b + 1], quality=JPEG_QUALITY) for b in range(nb)]
+    head = _JPEGPACK_MAGIC + struct.pack("<H", nb) + struct.pack(f"<{nb}I", *(len(p) for p in parts))
+    return head + b"".join(parts)
 
 
 def _jpeg_decode(b: bytes) -> np.ndarray:
-    if b[:4] != _JPEG_MAGIC:
-        raise NotImplementedError(
-            "real JPEG decode requires libjpeg/PIL, not available in this container; "
-            "only the deterministic stub payloads are supported"
-        )
-    return _raw_decode(b[4:])
+    from gdalcubes_spark.jpegcodec import decode_baseline
+    if b[:2] == b"\xFF\xD8":  # real JFIF (SOI marker)
+        return decode_baseline(b)
+    if b[:4] == _JPEGPACK_MAGIC:  # band-sequential multiband pack
+        (nb,) = struct.unpack("<H", b[4:6])
+        lens = struct.unpack(f"<{nb}I", b[6:6 + 4 * nb])
+        off = 6 + 4 * nb
+        bands = []
+        for ln in lens:
+            bands.append(decode_baseline(b[off:off + ln])[0])
+            off += ln
+        return np.stack(bands)
+    if b[:4] == _JPEG_MAGIC:  # legacy deterministic-stub payloads
+        return _raw_decode(b[4:])
+    raise NotImplementedError(
+        "unsupported image payload: expected baseline JFIF (FFD8), a GCJM "
+        "band pack, or legacy stub bytes; progressive JPEG needs libjpeg"
+    )
 
 
 # ------------------------------------------------------------------- api

@@ -300,7 +300,7 @@ class Cube:
 
     # ------------------------------------------------------------ persistence
     def write_parquet(self, path: str, mode: str = "overwrite", packing=None,
-                      format: str = "parquet") -> None:
+                      format: str = "parquet", strict: bool = False) -> None:
         """Materialize the chunk table (the ncdf/Iceberg sink analogue,
         cube.cpp:617+). Re-open with read_parquet_cube().
 
@@ -331,12 +331,38 @@ class Cube:
         for k, val in meta.items():
             df = df.withColumn(f"_meta_{k}", F.lit(val))
         if format == "iceberg":
+            import re as _re
+            tbl = _re.sub(r"[^A-Za-z0-9_]", "_", path.strip("/"))
+            if tbl[:1].isdigit():
+                tbl = f"t_{tbl}"
             try:
-                df.writeTo(f"gdalcubes.{path.strip('/').replace('/', '_')}") \
+                df.writeTo(f"gdalcubes.{tbl}") \
                   .partitionedBy(F.col("ct")).createOrReplace()
                 return
-            except Exception:
-                pass  # no Iceberg catalog in this environment → parquet layout
+            except Exception as e:  # noqa: BLE001 — classified below
+                # Downgrade ONLY on catalog absence (no Iceberg jar/conf in
+                # this environment). Anything else — schema mismatch, bad
+                # partition spec, permission — is a real write failure and
+                # must not be masked by a parquet fallback the caller never
+                # asked for. strict=True refuses the downgrade entirely
+                # (set it on any cluster that is supposed to have a catalog).
+                msg = str(e)
+                catalog_absent = ("CATALOG_NOT_FOUND" in msg
+                                  or "Catalog 'gdalcubes'" in msg
+                                  or "catalog plugin" in msg.lower()
+                                  or "cannot find catalog" in msg.lower()
+                                  # no 'gdalcubes' v2 catalog configured →
+                                  # the name falls through to the SESSION
+                                  # catalog, which cannot do RTAS
+                                  or ("spark_catalog" in msg
+                                      and "does not support REPLACE TABLE" in msg))
+                if strict or not catalog_absent:
+                    raise
+                import warnings
+                warnings.warn(
+                    f"Iceberg catalog 'gdalcubes' not configured; writing plain "
+                    f"parquet to {path} instead (pass strict=True to fail): {msg.splitlines()[0]}",
+                    stacklevel=2)
         df.write.mode(mode).parquet(path)
 
     def write_bucketed_table(self, table: str, buckets: int = 32, mode: str = "overwrite") -> None:
@@ -356,12 +382,31 @@ class Cube:
         if mode == "overwrite":
             # a crashed/foreign session can leave the location on disk with no
             # metastore entry; saveAsTable then fails with
-            # LOCATION_ALREADY_EXISTS — clear both halves first
+            # LOCATION_ALREADY_EXISTS — clear both halves first. Resolve the
+            # location from the CATALOG when the table exists (the metastore
+            # is authoritative, e.g. for externally-located tables); only for
+            # a truly orphaned location fall back to Spark's layout
+            # convention, which for database-qualified names is
+            # <warehouse>/<db>.db/<table>, not <warehouse>/<table>.
+            loc = None
+            try:
+                if spark.catalog.tableExists(table):
+                    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                        if row["col_name"] == "Location":
+                            loc = row["data_type"]
+                            break
+            except Exception:
+                loc = None
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+            if loc is None:
+                wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+                parts = [p for p in table.lower().split(".") if p != "spark_catalog"]
+                if len(parts) >= 2 and parts[-2] != "default":
+                    loc = f"{wh}/{parts[-2]}.db/{parts[-1]}"
+                else:
+                    loc = f"{wh}/{parts[-1]}"
             import shutil
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            loc = f"{wh.removeprefix('file:')}/{table.split('.')[-1].lower()}"
-            shutil.rmtree(loc, ignore_errors=True)
+            shutil.rmtree(loc.removeprefix("file:"), ignore_errors=True)
         (df.write.format("parquet").mode(mode)
          .bucketBy(buckets, "chunk_id").sortBy("chunk_id")
          .saveAsTable(table))

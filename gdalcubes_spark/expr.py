@@ -146,10 +146,17 @@ def band_usage(exprs: List[str], bands: List[str]) -> List[Set[str]]:
 
 
 _SQL_FUNCS = {"ln": "ln", "log": "ln", "log10": "log10", "atan2": "atan2", "pow": "power",
-              "min": "least", "max": "greatest",
-              # fac/ncr/npr on integer-valued inputs; both Spark and DuckDB
-              # provide factorial(int) (gamma-based like tinyexpr for ints)
-              "fac": "factorial"}
+              "min": "least", "max": "greatest"}
+
+# fac/ncr/npr must match the Python path, which is gamma-based for ANY real
+# input (tinyexpr semantics). SQL `factorial` is integer-typed and NULL for
+# n>20, so render through gamma(x+1) instead (DuckDB `gamma`; on engines
+# without it, exp(lgamma) is the equivalent rewrite).
+_GAMMA_FN = "gamma"
+
+
+def _sql_gamma1p(x: str) -> str:
+    return f"{_GAMMA_FN}(({x}) + 1.0)"
 
 
 def to_sql(source: str, col_of: Dict[str, str]) -> str:
@@ -189,6 +196,14 @@ def to_sql(source: str, col_of: Dict[str, str]) -> str:
             op = " AND " if isinstance(n.op, ast.And) else " OR "
             return "(" + op.join(emit(v) for v in n.values) + ")"
         if isinstance(n, ast.Call):
+            if n.func.id == "fac":
+                return _sql_gamma1p(emit(n.args[0]))
+            if n.func.id in ("ncr", "npr"):
+                nn, rr = emit(n.args[0]), emit(n.args[1])
+                denom = _sql_gamma1p(f"({nn}) - ({rr})")
+                if n.func.id == "ncr":
+                    denom = f"({_sql_gamma1p(rr)} * {denom})"
+                return f"round({_sql_gamma1p(nn)} / {denom})"
             fname = _SQL_FUNCS.get(n.func.id, n.func.id)
             return f"{fname}({', '.join(emit(a) for a in n.args)})"
         if isinstance(n, ast.IfExp):

@@ -1,0 +1,534 @@
+"""Baseline JPEG (JFIF) encoder/decoder in pure numpy — no libjpeg/PIL.
+
+Implemented from the PUBLIC specs: ITU-T T.81 (DCT, entropy coding, marker
+structure, Annex K quantization + Huffman tables) and the JFIF 1.02 container
+note. This replaces the round-1/2 deterministic stub behind codecs._jpeg_*:
+`fmt='jpeg'` payloads are now REAL JFIF bytes, and the PSNR≥40dB acceptance
+gate (north rule / input_hint) runs through an actual DCT+Huffman round trip.
+
+Scope (baseline sequential DCT, the dominant production subset):
+- encode: greyscale (1 band) or RGB (3 bands, BT.601 full-range YCbCr),
+  4:4:4 or 4:2:0 chroma subsampling, IJG quality scaling of the Annex K
+  tables, standard Annex K Huffman tables, byte stuffing, no restart markers.
+- decode: any baseline (SOF0) stream with 8-bit samples, 1 or 3 components,
+  arbitrary sampling factors up to 2x2, multiple DQT/DHT segments, restart
+  markers (DRI), APPn/COM skip. Progressive (SOF2) raises NotImplementedError.
+
+Performance shape: the entropy loop is per-symbol Python (a 16-bit prefix
+lookup table per Huffman table keeps it O(1) per symbol); DCT/IDCT, level
+shift, color transform and upsampling are whole-image numpy einsums. That is
+the right trade for this engine: images decode inside Arrow-batched UDFs
+(multimodal.py), so the per-image cost is amortized across executor cores,
+and a production cluster swaps in libjpeg bindings at the same seam
+(codecs.decode) without touching any Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- tables
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 / K.2 base quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.float64).reshape(8, 8)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.float64).reshape(8, 8)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# orthonormal 8-point DCT-II matrix: forward block transform = D @ B @ D.T
+_D = np.array([[(np.sqrt(0.125) if k == 0 else 0.5)
+                * np.cos((2 * n + 1) * k * np.pi / 16.0)
+                for n in range(8)] for k in range(8)])
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (libjpeg jpeg_quality_scaling, public source)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+# ----------------------------------------------------------- huffman build
+
+def _huff_codes(bits, vals):
+    """(symbol -> (code, length)) per T.81 Annex C canonical assignment."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits, vals):
+    """16-bit prefix lookup: table[peek16] = (symbol, code length)."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+# ------------------------------------------------------------ bit plumbing
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.buf >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 48 and self.pos < len(self.d):
+            self.buf = (self.buf << 8) | self.d[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill()
+        if self.nbits >= 16:
+            return (self.buf >> (self.nbits - 16)) & 0xFFFF
+        return (self.buf << (16 - self.nbits)) & 0xFFFF  # zero-padded tail
+
+    def skip(self, n: int):
+        self.nbits -= n
+        self.buf &= (1 << self.nbits) - 1 if self.nbits > 0 else 0
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:  # truncated stream: treat missing bits as 0
+            self.buf <<= (n - self.nbits)
+            self.nbits = n
+        v = (self.buf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: magnitude-category bits → signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ----------------------------------------------------------------- encode
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = int(mag).bit_length()
+    code, ln = dc_tab[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    r, g, b = a[0], a[1], a[2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr])
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) padded to /8 by edge replication → (nby, nbx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """uint8 (1|3, h, w) → baseline JFIF bytes. subsampling: '444' or '420'
+    (RGB only; '420' is the dominant production layout, kept optional so
+    lossless-critical tests can stay 4:4:4)."""
+    nb, h, w = a.shape
+    if nb not in (1, 3):
+        raise ValueError("baseline encoder supports 1 (grey) or 3 (RGB) bands")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    planes = _rgb_to_ycbcr(a.astype(np.float64)) if nb == 3 else a.astype(np.float64)
+    qt = [_quality_scale(QT_LUMA, quality)]
+    if nb == 3:
+        qt.append(_quality_scale(QT_CHROMA, quality))
+    sub = subsampling == "420" and nb == 3
+    sampling = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nb
+
+    if sub:
+        cb = planes[1]
+        cr = planes[2]
+        ph, pw = -h % 2, -w % 2
+        if ph or pw:
+            cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+            cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+        comp_planes = [planes[0], cb, cr]
+    else:
+        comp_planes = [planes[c] for c in range(nb)]
+
+    # forward DCT + quantize per component, keep zigzagged int blocks
+    comp_blocks = []
+    for c in range(nb):
+        blk = _blocks_of(comp_planes[c] - 128.0)
+        coef = np.einsum("ij,abjk,lk->abil", _D, blk, _D)
+        q = qt[0] if c == 0 else qt[1]
+        zz = np.round(coef / q).astype(np.int32).reshape(blk.shape[0], blk.shape[1], 64)[:, :, ZIGZAG]
+        comp_blocks.append(zz)
+
+    dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_tabs = [_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nb == 3:
+        dc_tabs.append(_huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_tabs.append(_huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    bw = _BitWriter()
+    preds = [0] * nb
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(nb):
+                ch, cv = sampling[c]
+                zzc = comp_blocks[c]
+                for by in range(cv):
+                    for bx in range(ch):
+                        ry = min(my * cv + by, zzc.shape[0] - 1)
+                        rx = min(mx * ch + bx, zzc.shape[1] - 1)
+                        t = 0 if c == 0 else 1
+                        preds[c] = _encode_block(bw, zzc[ry, rx], preds[c],
+                                                 dc_tabs[t], ac_tabs[t])
+    bw.flush()
+
+    # ----- markers
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for i, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([i]) + bytes(q.astype(np.uint8).ravel()[ZIGZAG]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nb])
+    for c in range(nb):
+        sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0 if c == 0 else 1])
+    out += seg(0xFFC0, sof)
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nb == 3:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in huffs:
+        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    sos = bytes([nb])
+    for c in range(nb):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decode
+
+def decode_baseline(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → uint8 (1|3, h, w). Raises NotImplementedError
+    on progressive (SOF2) and on >8-bit precision."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_lut: dict[int, tuple] = {}
+    ac_lut: dict[int, tuple] = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    scan = None
+    scan_comps = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(payload, dtype=np.uint8, count=64, offset=p + 1).astype(np.float64)
+                qts[tq] = tbl[UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                (ac_lut if tc else dc_lut)[th] = _huff_lookup(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec = payload[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
+                comps.append(dict(id=cid, h=hv >> 4, v=hv & 0x0F, tq=tq))
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = payload[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append(dict(comp=comp, td=tt >> 4, ta=tt & 0x0F))
+            # find entropy segment end: next marker that is not stuffing/RST
+            p = pos
+            while p < len(data) - 1:
+                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7):
+                    break
+                p += 1
+            scan = data[pos:p]
+            pos = p
+    if comps is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+
+    # entropy decode into per-component zigzag coefficient arrays
+    n_comp = len(comps)
+    blocks = []
+    nbx = []
+    nby = []
+    for c in comps:
+        bx = mcus_x * c["h"]
+        by = mcus_y * c["v"]
+        nbx.append(bx)
+        nby.append(by)
+        blocks.append(np.zeros((by, bx, 64), dtype=np.float64))
+
+    # split scan at restart markers (RSTn), unstuff each segment
+    segments = []
+    if restart_interval:
+        seg_bytes = bytearray()
+        i = 0
+        while i < len(scan):
+            if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(bytes(seg_bytes))
+                seg_bytes = bytearray()
+                i += 2
+                continue
+            seg_bytes.append(scan[i])
+            if scan[i] == 0xFF and i + 1 < len(scan) and scan[i + 1] == 0x00:
+                i += 2
+            else:
+                i += 1
+        segments.append(bytes(seg_bytes))
+    else:
+        segments = [scan.replace(b"\xFF\x00", b"\xFF")]
+
+    def read_symbol(br, lut):
+        sym_t, len_t = lut
+        idx = br.peek16()
+        ln = int(len_t[idx])
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        br.skip(ln)
+        return int(sym_t[idx])
+
+    mcu = 0
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * n_comp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * n_comp
+            for ci, sc in enumerate(scan_comps):
+                comp = sc["comp"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = read_symbol(br, dc_lut[sc["td"]])
+                        diff = _extend(br.receive(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(br, ac_lut[sc["ta"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        ry = my * comp["v"] + by
+                        rx = mx * comp["h"] + bx
+                        blocks[ci][ry, rx] = zz
+            mcu += 1
+
+    # dequantize + IDCT (whole-component einsum) + upsample + color transform
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qts[comp["tq"]]
+        coef = blocks[ci][:, :, UNZIGZAG].reshape(nby[ci], nbx[ci], 8, 8) * q
+        pix = np.einsum("ji,abjk,kl->abil", _D, coef, _D) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby[ci] * 8, nbx[ci] * 8)
+        sy, sx = max_v // comp["v"], max_h // comp["h"]
+        if sy > 1 or sx > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:h, :w])
+    if n_comp == 1:
+        out = planes[0][None]
+    elif n_comp == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b])
+    else:
+        raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from gdalcubes_spark.pipeline.dedup import _CACHED, release_caches
+
 
 def _ring_offsets(r: int):
     return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
@@ -30,7 +32,13 @@ def knn_tiles(images_meta: DataFrame, points: DataFrame, k: int = 3, cell: float
            .withColumn("gx", F.floor(F.col("cxm") / cell).cast("long"))
            .withColumn("gy", F.floor(F.col("cym") / cell).cast("long"))
            .select("image_id", "cxm", "cym", "gx", "gy"))
+    # cached for reuse across ring iterations; registered in the shared
+    # release registry (same hygiene as the LSH shingle cache) so long-lived
+    # sessions can free it with release_caches() instead of leaking one
+    # persisted table per knn_tiles call
+    release_caches()
     img.cache()
+    _CACHED.append(img)
 
     remaining = points.select("qid", "x", "y")
     results = None

@@ -72,8 +72,15 @@ def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
     cand = with_b.join(lim, group_col).filter(F.col("_hb") < F.col("_thr"))
     w = W.partitionBy(group_col).orderBy(F.col("_hb").asc(), F.col(key_col).asc())
     ranked = cand.withColumn("_rk", F.row_number().over(w))
-    got = ranked.groupBy(group_col).agg(F.count("*").alias("_got"), F.first("_m").alias("_m2"))
-    short = got.filter(F.col("_got") < F.least(F.lit(n_per_group), F.col("_m2"))).select(group_col)
+    # Short-group detection must start from `counts` (every group that exists),
+    # not from the candidate set: a group whose filter produced ZERO candidates
+    # never appears in the ranked output and would otherwise be dropped
+    # entirely instead of entering the exact fallback.
+    got = ranked.groupBy(group_col).agg(F.count("*").alias("_got"))
+    short = (counts.join(got, group_col, "left")
+             .withColumn("_got", F.coalesce(F.col("_got"), F.lit(0)))
+             .filter(F.col("_got") < F.least(F.lit(n_per_group), F.col("_m")))
+             .select(group_col))
     picked = (ranked.join(F.broadcast(short), group_col, "left_anti")
               .filter(F.col("_rk") <= n_per_group).select(*cols))
     # fallback: re-rank short groups over ALL their rows (exactness guarantee)

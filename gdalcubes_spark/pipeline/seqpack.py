@@ -51,18 +51,22 @@ def pack_sequences(df: DataFrame, max_len: int, id_col: str = "doc_id",
         bucket = int(key[0])
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
         lens = pdf["n_tokens"].to_numpy()
-        fills = []          # current fill per open bin
+        # first-fit scan as a numpy mask (argmax of first True): the inner
+        # loop stays O(open bins) per doc but runs at C speed, so buckets of
+        # 10^5+ docs don't pay a pure-Python scan per document
+        fills = np.zeros(64, dtype="int64")
+        nbins = 0
         assign = np.empty(len(lens), dtype="int64")
         for i, ln in enumerate(lens):
             ln = min(int(ln), max_len)  # oversize → occupies a full bin
-            placed = -1
-            for b, f in enumerate(fills):   # first fit
-                if f + ln <= max_len:
-                    placed = b
-                    break
-            if placed < 0:
-                placed = len(fills)
-                fills.append(0)
+            ok = fills[:nbins] <= max_len - ln
+            if ok.any():
+                placed = int(np.argmax(ok))  # lowest-index open bin that fits
+            else:
+                if nbins == len(fills):
+                    fills = np.concatenate([fills, np.zeros(len(fills), dtype="int64")])
+                placed = nbins
+                nbins += 1
             fills[placed] += ln
             assign[i] = placed
         return pd.DataFrame(dict(

@@ -97,6 +97,39 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
 
 
+_SIG_SCHEMA = T.StructType([
+    T.StructField("vid", T.LongType(), False),
+    T.StructField("table", T.IntegerType(), False),
+    T.StructField("bucket", T.LongType(), False),
+])
+
+
+def _hyperplane_signatures(df: DataFrame, planes: np.ndarray,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """(vid, table, bucket) sign-pattern rows, computed EXECUTOR-side — one
+    numpy matmul per Arrow batch per table, no shuffle, no driver pass. Sign
+    patterns are invariant under positive scaling, so exact duplicates (and
+    scaled clones, cosine = 1) land in the same bucket in every table."""
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+
+    def signatures(batches: Iterable[pd.DataFrame]):
+        pw = (1 << np.arange(n_planes)).astype("int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({f.name: pd.Series(dtype="int64") for f in _SIG_SCHEMA.fields})
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            frames = []
+            for t in range(n_tables):
+                bits = (E @ planes[t].T) > 0
+                bucket = bits @ pw
+                frames.append(pd.DataFrame(dict(vid=ids, table=t, bucket=bucket)))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(signatures, _SIG_SCHEMA)
+
+
 def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                         n_planes: int = 12, n_tables: int = 4, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -109,29 +142,8 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    sig_schema = T.StructType([
-        T.StructField("vid", T.LongType(), False),
-        T.StructField("table", T.IntegerType(), False),
-        T.StructField("bucket", T.LongType(), False),
-    ])
-
-    def signatures(batches: Iterable[pd.DataFrame]):
-        pw = (1 << np.arange(n_planes)).astype("int64")
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({f.name: pd.Series(dtype="int64") for f in sig_schema.fields})
-                continue
-            ids = pdf[id_col].to_numpy()
-            E = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            frames = []
-            for t in range(n_tables):
-                bits = (E @ planes[t].T) > 0
-                bucket = bits @ pw
-                frames.append(pd.DataFrame(dict(vid=ids, table=t, bucket=bucket)))
-            yield pd.concat(frames, ignore_index=True)
-
-    sigs = embeddings.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
-    qsigs = queries.select(id_col, vec_col).mapInPandas(signatures, sig_schema) \
+    sigs = _hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    qsigs = _hyperplane_signatures(queries, planes, id_col, vec_col) \
         .withColumnRenamed("vid", "qid")
     cand = (qsigs.join(sigs, ["table", "bucket"])
             .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id")).distinct())
@@ -160,7 +172,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
     (driver-side, tiny), assignments as a column, probe the n_probe nearest
     lists per query. The classic billion-scale layout (partition-by-centroid
     ⇒ partition pruning does the candidate cut)."""
-    sample = embeddings.select(vec_col).limit(sample_rows).toPandas()
+    # Seed sample: md5-bucket filter (deterministic_sample's trick), NOT
+    # limit() — limit() takes the first partitions, so on a corpus
+    # sorted/clustered by source the centroids would cover one region and
+    # recall silently degrades. The hash filter is uniform over ROWS
+    # regardless of layout; orderBy(_hb)+limit is a TakeOrdered (no full
+    # sort) that makes the draw exact-size and partitioning-independent.
+    from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+    n_total = embeddings.count()
+    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+    sample = (embeddings.select(F.col(id_col), F.col(vec_col))
+              .withColumn("_hb", _hash_bucket(id_col))
+              .filter(F.col("_hb") < int(frac * _BUCKETS))
+              .orderBy("_hb", id_col).limit(sample_rows)
+              .select(vec_col).toPandas())
     X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -276,3 +301,48 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     if out is None:
         return embeddings.sparkSession.createDataFrame([], _NEARDUP_SCHEMA)
     return out.select("ida", "idb", F.round("sim", 6).alias("sim"))
+
+
+def cosine_neardup_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99,
+                                  id_col: str = "vec_id", vec_col: str = "embedding",
+                                  n_planes: int = 8, n_tables: int = 12,
+                                  seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs at 100 TB shape: hyperplane sign buckets
+    generate candidates EXECUTOR-side, then only candidate pairs get the
+    exact zip_with cosine verify — no driver pass, no all-pairs scan.
+
+    Plan: one mapInPandas projection emits (vid, table, bucket) sign rows
+    (zero shuffle), a self equi-join on (table, bucket) with ida < idb is the
+    only quadratic-risk exchange (bounded by bucket occupancy, 2^n_planes
+    buckets per table), distinct-ed candidates join the vectors back and a
+    JVM-side zip_with/aggregate dot product applies the exact threshold.
+
+    Recall: a pair at angle θ collides in one table with prob (1 − θ/π)^p;
+    miss prob across T tables is (1 − (1−θ/π)^p)^T. Defaults (p=8, T=12) at
+    threshold 0.99 (θ≈8.1°) give miss ≈ 2e-9 per pair; exact duplicates and
+    positively-scaled clones (cosine 1) are found with probability 1 (equal
+    sign patterns in every table). For an audit-grade exact gate use
+    cosine_neardup_pairs (the O(n²) verify path) on a sampled slice."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame([], _NEARDUP_SCHEMA)
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    sigs = _hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    a = sigs.select(F.col("vid").alias("ida"), "table", "bucket")
+    b = sigs.select(F.col("vid").alias("idb"), "table", "bucket")
+    cand = (a.join(b, ["table", "bucket"])
+            .filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb").distinct())
+    e1 = embeddings.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    e2 = embeddings.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                                       F.lit(0.0), lambda acc, x: acc + x))
+    return (cand.join(e1, "ida").join(e2, "idb")
+            .withColumn("sim", dot / (nrm("va") * nrm("vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("ida", "idb", F.round("sim", 6).alias("sim")))

@@ -102,11 +102,13 @@ class ImageLayout:
 
     def decoded_pixels(self, i: int) -> np.ndarray:
         """Pixels after the encode→decode round trip (identical for lossless
-        formats; quantized for the jpeg stub) — the oracle for PSNR checks."""
+        formats; a REAL DCT+Huffman round trip for jpeg via the in-repo
+        baseline codec) — the oracle for placement checks. Deterministic:
+        same bytes, same decode, everywhere."""
         p = self.params(i)
         a = self.pixels(i)
         if p["fmt"] == "jpeg":
-            return (np.round(a.astype(np.float64) / codecs.JPEG_QUANT) * codecs.JPEG_QUANT).clip(0, 255).astype(np.uint8)
+            return codecs.decode(codecs.encode(a, "jpeg"), "jpeg")
         return a
 
 
