@@ -212,25 +212,24 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> 
     bw.put(code, ln)
     if s:
         bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last = 63
-    while last > 0 and zz[last] == 0:
-        last -= 1
-    for i in range(1, last + 1):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
+    # visit only nonzero AC coefficients (numpy nonzero): quantized blocks
+    # are sparse, so this is ~#nonzeros iterations instead of always 63
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for idx in nz:
+        i = int(idx) + 1
+        run = i - prev - 1
         while run > 15:
             code, ln = ac_tab[0xF0]  # ZRL
             bw.put(code, ln)
             run -= 16
+        v = int(zz[i])
         s = abs(v).bit_length()
         code, ln = ac_tab[(run << 4) | s]
         bw.put(code, ln)
         bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last < 63:
+        prev = i
+    if prev < 63:
         code, ln = ac_tab[0x00]  # EOB
         bw.put(code, ln)
     return dc
@@ -254,10 +253,13 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
     """uint8 (1|3, h, w) → baseline JFIF bytes. subsampling: '444' or '420'
     (RGB only; '420' is the dominant production layout, kept optional so
-    lossless-critical tests can stay 4:4:4)."""
+    lossless-critical tests can stay 4:4:4). restart_interval > 0 emits DRI +
+    RSTn markers every N MCUs (resync points real encoders use for error
+    resilience / parallel decode)."""
     nb, h, w = a.shape
     if nb not in (1, 3):
         raise ValueError("baseline encoder supports 1 (grey) or 3 (RGB) bands")
@@ -304,8 +306,14 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444") 
     max_v = max(s[1] for s in sampling)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
+    mcu_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()  # RST markers are byte-aligned, never stuffed
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_n // restart_interval - 1) % 8)])
+                preds = [0] * nb
+            mcu_n += 1
             for c in range(nb):
                 ch, cv = sampling[c]
                 zzc = comp_blocks[c]
@@ -335,6 +343,8 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444") 
         huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for tc, bits, vals in huffs:
         out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([nb])
     for c in range(nb):
         t = 0 if c == 0 else 1

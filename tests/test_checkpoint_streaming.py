@@ -177,6 +177,67 @@ class TestStreamingScan:
         assert multi.count() > 0
 
 
+    def test_kill_restart_recovers_chunk_state(self, spark, tmp_path):
+        """Exactly-once resume drill for streaming_scan: run the query over
+        arrival batch 1, STOP it, land batch 2, then start a FRESH query on
+        the same checkpointLocation. The restarted query must (a) not
+        reprocess batch-1 files (source offsets recovered) and (b) combine
+        batch-2 images with the RECOVERED per-chunk partials (state store) —
+        the final mean only equals the batch scan if both held."""
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.streaming import streaming_inventory, streaming_scan
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+        lay = ImageLayout(left0=0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                          ntime=2, tile_w=8, tile_h=8, nb=1, fmts=("raw",), overlap=0.25)
+        src = str(tmp_path / "arrivals")
+        ckpt = str(tmp_path / "stream_ckpt")
+        sink = str(tmp_path / "sink")
+        all_imgs = generate_images(spark, 16, lay)
+        all_imgs.filter("image_id < 'img_000000000008'").write.mode("overwrite").parquet(src)
+
+        v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                            t0="2021-01-01", t1="2021-01-02", dt="P1D", dx=0.5, dy=0.5,
+                            aggregation="mean", resampling="near")
+        g = ChunkGrid(nt=2, ny=8, nx=8, ct=1, cy=4, cx=4)
+
+        def run_once():
+            stream = streaming_inventory(spark, src, max_files_per_trigger=4)
+            out = streaming_scan(stream, v, ["B01"], chunking=g, method="mean")
+            q = (out.writeStream.outputMode("update")
+                 .foreachBatch(lambda df, _id: df.write.mode("append").parquet(sink))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()  # processes batch 1, then the query STOPS (forced stop
+        #             between arrival batches — the 'kill')
+        n_after_b1 = spark.read.parquet(sink).count()
+        assert n_after_b1 > 0
+
+        # batch 2 lands while no query is running
+        all_imgs.filter("image_id >= 'img_000000000008'").write.mode("append").parquet(src)
+        run_once()  # FRESH query object, same checkpoint → must recover
+
+        upd = spark.read.parquet(sink)
+        rows = (upd.withColumn("rn", F.expr(
+                    "row_number() OVER (PARTITION BY chunk_id ORDER BY n_images_seen DESC)"))
+                .filter("rn = 1").collect())
+        got = np.full((1, v.nt, v.ny, v.nx), np.nan)
+        for r in rows:
+            t = np.frombuffer(r["data"], dtype="<f8").reshape(r["nb"], r["nt"], r["ny"], r["nx"])
+            (t0, t1), (y0, y1), (x0, x1) = g.chunk_cell_range(r["ct"], r["cy"], r["cx"])
+            got[:, t0:t1, y0:y1, x0:x1] = t
+        want = raster_cube(all_imgs, v, band_names(lay), chunking=g).collect_array()
+        assert np.allclose(np.nan_to_num(got, nan=-1), np.nan_to_num(want, nan=-1))
+        # restart really combined OLD state with NEW images: some chunk's
+        # final row counts images from both batches
+        seen = {}
+        for r in upd.select("chunk_id", "n_images_seen").collect():
+            seen.setdefault(r.chunk_id, []).append(r.n_images_seen)
+        assert any(max(vs) > min(vs) for vs in seen.values() if len(vs) > 1)
+
+
 class TestStreamingTrainingOps:
     def test_streaming_deterministic_sample_matches_batch(self, spark, tmp_path):
         """deterministic_sample is a stateless row-wise filter, so it composes
