@@ -553,6 +553,27 @@ def _q_scan_from_table(spark, sf_dir):
     return c.reduce_time("mean(B01)", "mean(B02)").cells().select("iy", "ix", "band", "value")
 
 
+def _q_scan_geotiff(spark, sf_dir):
+    """rows-only: scan over an inventory of REAL GeoTIFF payloads (tiled
+    Deflate TIFF 6.0 bytes from the in-repo tiffcodec) — binary decode so no
+    SQL oracle; tests/test_scan.py proves per-cell exactness (lossless) and
+    tests/test_tiffcodec.py proves the format itself roundtrips + COG layout."""
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=4, tile_w=32, tile_h=32, nb=2, fmts=("tif",),
+                      hot_every=7, overlap=0.25)
+    imgs = generate_images(_utc(spark), 64, lay)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                        t0="2021-01-01", t1="2021-01-04", dt="P1D", dx=0.125, dy=0.125,
+                        aggregation="mean", resampling="near")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16))
+    return c.reduce_time("mean(B01)", "max(B02)").cells().select("iy", "ix", "band", "value")
+
+
 def _q_scan_resample_average(spark, sf_dir):
     """rows-only: footprint resampling (gdalwarp 'average') in the
     distributed scan — 32-px tiles down-sampled 4× into the view, so every
@@ -597,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_join_bands": _q_join_bands,
         "scan_monthly_median": _q_scan_monthly_median,
         "scan_from_table": _q_scan_from_table,
+        "scan_geotiff": _q_scan_geotiff,
         "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
         "text_winnow": _q_text_winnow,

@@ -12,6 +12,8 @@ input table.
   markers. 2-band/multispectral tensors are stored band-sequential
   (per-band greyscale JFIFs behind a length-prefixed GCJM header). The
   round-1/2 deterministic stub payloads (GCJ1) remain decodable.
+- "tif":  real tiled-Deflate GeoTIFF via the in-repo pure-numpy codec
+  (tiffcodec.py; TIFF 6.0 + GeoTIFF 1.1) — lossless, any band count.
 
 Decoded pixel values are uint8 (0..255) → float64 at cube level, like GDAL
 band data entering gdalcubes (image_collection.h:49).
@@ -154,6 +156,25 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     )
 
 
+# ------------------------------------------------------------------- tif
+
+def _tif_encode(a: np.ndarray) -> bytes:
+    """Real tiled-Deflate GeoTIFF bytes via the in-repo pure-numpy codec
+    (tiffcodec.py, TIFF 6.0 + GeoTIFF 1.1). Inventory payloads are plain
+    rasters: tile dim snapped to the image size (multiple of 16), no
+    overview pyramid (source scenes are single-res; the cube writer adds
+    pyramids on export)."""
+    from gdalcubes_spark.tiffcodec import encode_geotiff
+    tile = min(256, max(16, -(-max(a.shape[1], a.shape[2]) // 16) * 16))
+    return encode_geotiff(a, tile=tile, compress="deflate", overviews=False)
+
+
+def _tif_decode(b: bytes) -> np.ndarray:
+    from gdalcubes_spark.tiffcodec import decode_geotiff
+    arr, _meta = decode_geotiff(b)
+    return arr.astype(np.uint8)
+
+
 # ------------------------------------------------------------------- api
 
 def encode(a: np.ndarray, fmt: str) -> bytes:
@@ -163,6 +184,8 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         return _png_encode(a)
     if fmt == "jpeg":
         return _jpeg_encode(a)
+    if fmt == "tif":
+        return _tif_encode(a)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -174,6 +197,8 @@ def decode(b: bytes, fmt: str) -> np.ndarray:
         return _png_decode(b)
     if fmt == "jpeg":
         return _jpeg_decode(b)
+    if fmt == "tif":
+        return _tif_decode(b)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -474,6 +474,80 @@ class Cube:
 
         return self.df.groupBy("ct").applyInPandas(write_slice, out_schema)
 
+    def write_tif(self, path: str, band=None, dtype: str = "float32",
+                  nodata: float = -9999.0, tile: int = 256,
+                  compress: str = "deflate", overviews: bool = True,
+                  packing=None) -> "DataFrame":
+        """write_tif / COG export (cube.cpp:292-615 `write_tif_collection`,
+        COG=TRUE path): one Cloud-Optimized GeoTIFF per time slice, REAL
+        GeoTIFF bytes from the in-repo pure-numpy codec (tiffcodec.py) —
+        tiled Deflate, factor-2 overview pyramid, ModelPixelScale/Tiepoint +
+        EPSG GeoKeys from the cube view, GDAL_NODATA. NaN cells become
+        `nodata` (the reference writes its per-band no_data the same way).
+
+        `packing` mirrors the reference's pack_minmax export (cube.h:52-96):
+        a gdalcubes_spark.packing spec → integer bytes with scale/offset
+        applied BEFORE the dtype cast. Like the reference's writer, each
+        slice is assembled by one task (groupBy ct); executors write to
+        `path` directly — use shared storage on a real cluster. Returns
+        DataFrame(it, file, bytes_written)."""
+        import os as _os
+
+        from gdalcubes_spark import tiffcodec as _tc
+
+        if packing is not None and (packing.type == "none" or
+                                    packing.nodata is None or np.isnan(packing.nodata)):
+            raise ValueError("write_tif packing needs an integer type with a "
+                             "finite nodata code (GeoTIFF carries it in GDAL_NODATA)")
+        v, g, bands = self.view, self.chunking, list(self.bands)
+        bsel = [bands.index(band)] if isinstance(band, str) else (
+            [bands.index(b) for b in band] if band is not None else list(range(len(bands))))
+        labels = [d.to_string().replace(":", "-") for d in v.time_labels()]
+        epsg = None
+        if isinstance(v.srs, str) and v.srs.upper().startswith("EPSG:"):
+            epsg = int(v.srs.split(":")[1])
+        left, top, dx, dy = v.left, v.top, v.dx, v.dy
+        nd = float(nodata)
+        # snap tile dim to the slice size (multiple of 16) so small cubes
+        # don't pad a 40x40 slice out to a 256x256 tile
+        tile = min(tile, max(16, -(-max(v.ny, v.nx) // 16) * 16))
+        _os.makedirs(path, exist_ok=True)
+
+        out_schema = T.StructType([
+            T.StructField("it", T.IntegerType(), False),
+            T.StructField("file", T.StringType(), False),
+            T.StructField("bytes_written", T.LongType(), False),
+        ])
+
+        def write_slice(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ict = int(key[0])
+            (t0, t1), _, _ = g.chunk_cell_range(ict, 0, 0)
+            rows = []
+            for lt in range(t1 - t0):
+                plane = np.full((len(bsel), v.ny, v.nx), np.nan)
+                for _, row in pdf.iterrows():
+                    _, (y0, y1), (x0, x1) = g.chunk_cell_range(int(row["ct"]), int(row["cy"]), int(row["cx"]))
+                    plane[:, y0:y1, x0:x1] = tensor_of(row)[bsel, lt]
+                if packing is not None:
+                    a = np.frombuffer(packing.pack(plane), dtype=packing.dtype
+                                      ).reshape(plane.shape).copy()
+                    slice_nd = float(packing.nodata)
+                else:
+                    a = np.where(np.isnan(plane), nd, plane).astype(dtype)
+                    slice_nd = nd
+                tif = _tc.encode_geotiff(
+                    a, tile=tile, compress=compress, overviews=overviews,
+                    nodata=slice_nd, left=left, top=top, dx=dx, dy=dy, epsg=epsg)
+                it_global = t0 + lt
+                fn = f"{path}/slice_{it_global:05d}_{labels[it_global]}.tif"
+                with open(fn, "wb") as fh:
+                    fh.write(tif)
+                rows.append(dict(it=it_global, file=fn, bytes_written=len(tif)))
+            return pd.DataFrame(rows, columns=["it", "file", "bytes_written"]) if rows else \
+                pd.DataFrame(columns=["it", "file", "bytes_written"])
+
+        return self.df.groupBy("ct").applyInPandas(write_slice, out_schema)
+
     # operator API (implemented in gdalcubes_spark.operators.*; thin wrappers
     # so pipelines read like the reference's R verb chains)
     def select_bands(self, bands: Sequence[str]) -> "Cube":

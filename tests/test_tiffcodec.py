@@ -1,0 +1,237 @@
+"""GeoTIFF codec (tiffcodec.py — TIFF 6.0 + GeoTIFF 1.1, COG layout) and the
+cube write_tif sink (reference cube.cpp:292-615 write_tif_collection/COG)."""
+
+import glob
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gdalcubes_spark import codecs
+from gdalcubes_spark import tiffcodec as tc
+from gdalcubes_spark.cube import cube_from_array
+from gdalcubes_spark.grid import ChunkGrid, CubeView
+from gdalcubes_spark.packing import Packing
+
+
+def _img(nb=3, h=70, w=130, dtype="uint8", seed=7):
+    rng = np.random.default_rng(seed)
+    return (rng.random((nb, h, w)) * 200).astype(dtype)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "uint32",
+                                       "int32", "float32", "float64"])
+    def test_all_dtypes_exact(self, dtype):
+        a = _img(dtype=dtype)
+        out, meta = tc.decode_geotiff(tc.encode_geotiff(a, tile=32))
+        assert out.dtype == a.dtype and np.array_equal(out, a)
+
+    @pytest.mark.parametrize("nb", [1, 2, 3, 5])
+    def test_band_counts(self, nb):
+        a = _img(nb=nb, h=33, w=47)
+        out, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16))
+        assert np.array_equal(out, a)
+
+    def test_2d_input_and_no_compress(self):
+        a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        b = tc.encode_geotiff(a, tile=16, compress="none", overviews=False)
+        out, meta = tc.decode_geotiff(b)
+        assert np.array_equal(out[0], a) and len(meta["levels"]) == 1
+
+    def test_non_tile_multiple_edges(self):
+        # h, w deliberately prime — every right/bottom tile is partial
+        a = _img(nb=2, h=61, w=97)
+        out, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16))
+        assert np.array_equal(out, a)
+
+    def test_predictor_shrinks_smooth_data(self):
+        # a smooth ramp compresses far better under horizontal differencing
+        a = (np.arange(256 * 256, dtype=np.uint16) % 50000).reshape(1, 256, 256)
+        with_pred = tc.encode_geotiff(a, overviews=False)          # auto predictor=2
+        without = tc.encode_geotiff(a, overviews=False, predictor=1)
+        assert np.array_equal(tc.decode_geotiff(with_pred)[0], a)
+        assert len(with_pred) < 0.5 * len(without)
+
+    def test_predictor_rejected_for_float(self):
+        with pytest.raises(ValueError, match="integer-only"):
+            tc.encode_geotiff(_img(dtype="float32"), predictor=2)
+
+    def test_bad_tile_dim_rejected(self):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            tc.encode_geotiff(_img(), tile=20)
+
+
+class TestGeoTags:
+    def test_geo_metadata_roundtrip(self):
+        b = tc.encode_geotiff(_img(), tile=32, left=5.25, top=53.5, dx=0.01,
+                              dy=0.02, epsg=4326, nodata=-1.5)
+        _, meta = tc.decode_geotiff(b)
+        assert meta["left"] == 5.25 and meta["top"] == 53.5
+        assert meta["dx"] == 0.01 and meta["dy"] == 0.02
+        assert meta["epsg"] == 4326 and meta["nodata"] == -1.5
+
+    def test_geokey_model_type(self):
+        # geographic CRS (4xxx) vs projected CRS key placement
+        for epsg, key in [(4326, 2048), (32632, 3072)]:
+            b = tc.encode_geotiff(_img(nb=1, h=32, w=32), tile=32, left=0, top=1,
+                                  dx=1, dy=1, epsg=epsg)
+            _, meta = tc.decode_geotiff(b)
+            assert meta["epsg"] == epsg
+            # raw GeoKeyDirectory: header (1,1,0,n) then 4-short keys
+            e = "<"
+            (at,) = struct.unpack_from(f"{e}I", b, 4)
+            tags, _ = tc._read_ifd(b, at, e)
+            kd = tags[34735]
+            assert kd[:3] == [1, 1, 0]
+            assert key in kd[4::4]
+
+    def test_structure_is_plain_tiff(self):
+        b = tc.encode_geotiff(_img(), tile=32)
+        assert b[:4] == b"II*\x00"
+        # first IFD entry count sane and tags ascending
+        (at,) = struct.unpack_from("<I", b, 4)
+        (n,) = struct.unpack_from("<H", b, at)
+        tag_ids = [struct.unpack_from("<H", b, at + 2 + 12 * i)[0] for i in range(n)]
+        assert tag_ids == sorted(tag_ids)
+
+
+class TestCogLayout:
+    def test_overview_pyramid_dims(self):
+        a = _img(nb=1, h=200, w=300)
+        _, meta = tc.decode_geotiff(tc.encode_geotiff(a, tile=64))
+        assert meta["levels"] == [(200, 300), (100, 150), (50, 75), (25, 38)]
+
+    def test_overview_values_are_block_means(self):
+        a = np.arange(64 * 64, dtype=np.float64).reshape(1, 64, 64)
+        b = tc.encode_geotiff(a, tile=16)
+        ov, _ = tc.decode_geotiff(b, level=1)
+        expect = a.reshape(1, 32, 2, 32, 2).mean(axis=(2, 4))
+        assert np.allclose(ov, expect)
+
+    def test_overview_nodata_aware(self):
+        a = np.full((1, 32, 32), -9999.0, dtype=np.float32)
+        a[0, 0, 0] = 8.0  # block (0,0): one valid value among three nodata
+        ov, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16, nodata=-9999.0), level=1)
+        assert ov[0, 0, 0] == 8.0            # mean of the single valid cell
+        assert ov[0, 5, 5] == -9999.0        # all-nodata block stays nodata
+
+    def test_cog_properties(self):
+        rep = tc.cog_layout_report(tc.encode_geotiff(_img(nb=2, h=300, w=300), tile=64))
+        assert rep["n_ifds"] == 4  # 300 → 150 → 75 → 38 (≤64 stops)
+        assert rep["ifds_before_data"]
+        assert rep["overview_tiles_first"]
+
+    def test_nan_nodata_roundtrip(self):
+        a = np.full((1, 40, 40), np.nan, dtype=np.float32)
+        a[0, :20, :20] = 4.0
+        out, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16, nodata=float("nan")))
+        assert np.array_equal(np.isnan(out), np.isnan(a))
+        assert np.all(out[0, :20, :20] == 4.0)
+
+
+class TestExternalShapes:
+    """The reader also accepts layouts our writer never emits (stripped,
+    big-endian) so baseline external GeoTIFFs decode."""
+
+    def _strip_tiff(self, a: np.ndarray, endian: str) -> bytes:
+        # hand-rolled minimal stripped uncompressed TIFF, one strip
+        e = "<" if endian == "II" else ">"
+        h, w = a.shape
+        data = a.astype(np.dtype("uint8")).tobytes()
+        entries = [(256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [8]),
+                   (259, 3, 1, [1]), (262, 3, 1, [1]), (273, 4, 1, [None]),
+                   (277, 3, 1, [1]), (278, 4, 1, [h]), (279, 4, 1, [len(data)]),
+                   (339, 3, 1, [1])]
+        ifd_at = 8
+        data_at = ifd_at + 2 + 12 * len(entries) + 4
+        out = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(f"{e}I", ifd_at)
+        out += struct.pack(f"{e}H", len(entries))
+        for tag, ty, cnt, vals in entries:
+            v = data_at if vals == [None] else vals[0]
+            fmt = "H" if ty == 3 else "I"
+            out += struct.pack(f"{e}HHI", tag, ty, cnt) + struct.pack(f"{e}{fmt}", v).ljust(4, b"\x00")
+        out += struct.pack(f"{e}I", 0) + data
+        return out
+
+    @pytest.mark.parametrize("endian", ["II", "MM"])
+    def test_stripped_uncompressed_both_endians(self, endian):
+        a = (np.arange(48 * 31) % 251).astype(np.uint8).reshape(48, 31)
+        out, _ = tc.decode_geotiff(self._strip_tiff(a, endian))
+        assert np.array_equal(out[0], a)
+
+
+class TestCodecIntegration:
+    def test_tif_fmt_in_codecs(self):
+        a = _img(nb=2, h=32, w=32)
+        b = codecs.encode(a, "tif")
+        assert b[:4] == b"II*\x00"  # genuine TIFF bytes, any reader opens them
+        assert np.array_equal(codecs.decode(b, "tif"), a)
+
+    def test_synth_generates_tif_payloads(self):
+        from gdalcubes_spark.synth import ImageLayout
+        lay = ImageLayout(gx=2, gy=2, ntime=1, tile_w=32, tile_h=32, nb=2, fmts=("tif",))
+        # lossless: decoded pixels equal the analytic pattern exactly
+        assert np.array_equal(lay.decoded_pixels(3), lay.pixels(3))
+        b = codecs.encode(lay.pixels(3), "tif")
+        assert np.array_equal(codecs.decode(b, "tif"), lay.pixels(3))
+
+
+class TestWriteTifSink:
+    def _cube(self, spark, nt=3, ny=24, nx=40):
+        v = CubeView.create(srs="EPSG:4326", left=5.0, right=5.0 + nx * 0.25,
+                            bottom=50.0, top=50.0 + ny * 0.25,
+                            t0="2021-01-01", t1=f"2021-01-{nt:02d}", dt="P1D",
+                            dx=0.25, dy=0.25)
+        rng = np.random.default_rng(11)
+        arr = rng.uniform(0, 100, size=(2, nt, ny, nx))
+        arr[0, 0, 3, 4] = np.nan
+        c = cube_from_array(spark, arr, v,
+                            chunking=ChunkGrid(nt=nt, ny=ny, nx=nx, ct=1, cy=12, cx=20))
+        return c, arr, v
+
+    def test_slices_decode_and_georeference(self, spark, tmp_path):
+        c, arr, v = self._cube(spark)
+        res = c.write_tif(str(tmp_path / "tifs"), dtype="float64", overviews=True)
+        rows = {r["it"]: r for r in res.collect()}
+        assert sorted(rows) == [0, 1, 2]
+        for it, r in rows.items():
+            with open(r["file"], "rb") as fh:
+                b = fh.read()
+            out, meta = tc.decode_geotiff(b)
+            expect = np.where(np.isnan(arr[:, it]), -9999.0, arr[:, it])
+            assert np.array_equal(out, expect)
+            assert meta["left"] == 5.0 and meta["top"] == 56.0
+            assert meta["dx"] == 0.25 and meta["dy"] == 0.25
+            assert meta["epsg"] == 4326 and meta["nodata"] == -9999.0
+            rep = tc.cog_layout_report(b)
+            assert rep["ifds_before_data"] and rep["overview_tiles_first"]
+
+    def test_band_subset_and_files_on_disk(self, spark, tmp_path):
+        c, arr, _ = self._cube(spark)
+        p = str(tmp_path / "sub")
+        res = c.write_tif(p, band="band2", dtype="float32", overviews=False)
+        assert res.count() == 3
+        files = sorted(glob.glob(p + "/*.tif"))
+        assert len(files) == 3 and "2021-01-02" in files[1]
+        out, _ = tc.decode_geotiff(open(files[1], "rb").read())
+        assert out.shape == (1, 24, 40)
+        assert np.allclose(out[0], arr[1, 1].astype(np.float32))
+
+    def test_packed_export(self, spark, tmp_path):
+        c, arr, _ = self._cube(spark)
+        pk = Packing(type="uint16", scale=100.0 / 65534, offset=0.0)
+        res = c.write_tif(str(tmp_path / "pk"), packing=pk).collect()
+        with open(res[0]["file"], "rb") as fh:
+            out, meta = tc.decode_geotiff(fh.read())
+        assert out.dtype == np.uint16 and meta["nodata"] == 65535.0
+        back = np.where(out == 65535, np.nan, out * pk.scale + pk.offset)
+        it = res[0]["it"]
+        assert np.allclose(np.nan_to_num(back), np.nan_to_num(arr[:, it]), atol=pk.scale)
+        assert np.array_equal(np.isnan(back), np.isnan(arr[:, it]))
+
+    def test_packing_without_nodata_rejected(self, spark, tmp_path):
+        c, _, _ = self._cube(spark)
+        with pytest.raises(ValueError, match="nodata"):
+            c.write_tif(str(tmp_path / "bad"), packing=Packing(type="float32"))
