@@ -254,6 +254,15 @@ def _q_text_stats(spark, sf_dir):
     return text_features(d).select("doc_id", "n_tokens", "stop_ratio", "quality", "lang_pred", "fingerprint")
 
 
+def _q_text_tokens(spark, sf_dir):
+    """BPE-ish pre-token counting (GPT-2 pre-tokenizer classes, RE2-safe
+    regex shared verbatim with the DuckDB oracle) — token-budget sizing for
+    training corpora; one codegen projection, zero shuffle."""
+    from gdalcubes_spark.pipeline.text import bpe_token_counts
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_counts(d)
+
+
 def _q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints: md5 window hashes, smallest-4 per doc —
     zero-shuffle codegen plan with a bit-identical DuckDB oracle."""
@@ -392,6 +401,17 @@ def _q_ann_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def _q_ann_pq(spark, sf_dir):
+    """rows-only: product-quantization ADC top-k (Jégou+ TPAMI'11) with exact
+    zip_with re-rank of the refine·k ADC candidates — the 100 TB scan reads
+    m-byte codes (32× smaller than the float32 vectors); pytest reports
+    recall vs brute force and sim-exactness of agreeing pairs."""
+    from gdalcubes_spark.pipeline.similarity import pq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    return pq_topk(emb, queries, k=5, m=8, ks=32, refine=4)
 
 
 def _q_apply_time_cumsum(spark, sf_dir):
@@ -621,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_geotiff": _q_scan_geotiff,
         "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
+        "text_tokens": _q_text_tokens,
         "text_winnow": _q_text_winnow,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -637,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "knn_tiles": _q_knn_tiles,
         "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "multimodal_features": _q_multimodal_features,
@@ -848,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2, 3
         """,
         "text_stats": _text_stats_oracle(),
+        "text_tokens": _text_tokens_oracle(),
         "text_winnow": _text_winnow_oracle(),
         "dedup_exact": "WITH " + _CLONES_SQL + """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1046,6 +1069,11 @@ def _text_winnow_oracle() -> str:
     from gdalcubes_spark.pipeline.text import rolling_fingerprints_sql
     return ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)\n"
             + rolling_fingerprints_sql())
+
+
+def _text_tokens_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import bpe_token_counts_oracle_sql
+    return bpe_token_counts_oracle_sql()
 
 
 def _text_stats_oracle() -> str:

@@ -346,3 +346,166 @@ def cosine_neardup_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99
             .withColumn("sim", dot / (nrm("va") * nrm("vb")))
             .filter(F.col("sim") >= threshold)
             .select("ida", "idb", F.round("sim", 6).alias("sim")))
+
+
+# --------------------------------------------------------------- product
+# quantization (Jégou/Douze/Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 — public paper; implemented from the
+# paper's ADC construction, no reference code involved)
+
+def _pq_train(embeddings: DataFrame, m: int, ks: int, iters: int, seed: int,
+              sample_rows: int, id_col: str, vec_col: str):
+    """Seeded per-subspace Lloyd's on an md5-bucket sample (layout-
+    independent, like ivf_topk's fix). Returns (C (m, ks, dsub), dim, dsub);
+    vectors whose dim % m != 0 are zero-padded into the last subspace."""
+    from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+    n_total = embeddings.count()
+    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+    sample = (embeddings.select(F.col(id_col), F.col(vec_col))
+              .withColumn("_hb", _hash_bucket(id_col))
+              .filter(F.col("_hb") < int(frac * _BUCKETS))
+              .orderBy("_hb", id_col).limit(sample_rows)
+              .select(vec_col).toPandas())
+    X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
+    dim = X.shape[1]
+    dsub = -(-dim // m)
+    if dim != m * dsub:
+        X = np.pad(X, ((0, 0), (0, m * dsub - dim)))
+    rng = np.random.default_rng(seed)
+    ks_eff = min(ks, len(X))
+    C = np.empty((m, ks_eff, dsub))
+    for j in range(m):
+        Xs = X[:, j * dsub:(j + 1) * dsub]
+        C[j] = Xs[rng.choice(len(Xs), size=ks_eff, replace=False)]
+        for _ in range(iters):
+            d2 = (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ C[j].T) + (C[j] * C[j]).sum(1)[None]
+            a = np.argmin(d2, axis=1)
+            for c in range(ks_eff):
+                mask = a == c
+                if mask.any():
+                    C[j, c] = Xs[mask].mean(axis=0)
+    return C, dim, dsub
+
+
+_PQ_CODE_SCHEMA = T.StructType([
+    T.StructField("vid", T.LongType(), False),
+    T.StructField("codes", T.BinaryType(), False),
+])
+
+
+def pq_encode(embeddings: DataFrame, C: np.ndarray, dim: int,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Corpus → (vid, codes binary): m uint8 subspace code bytes per vector.
+    At 100 TB this is THE scan-side win — a 64-dim float32 corpus shrinks
+    32× (256 B → 8 B/row), so the exhaustive ADC scan reads 1/32 of the
+    bytes and the codes table broadcast-joins/caches where vectors can't.
+    Pure executor-side mapInPandas; the codebook (m·ks·dsub float64, a few
+    hundred KB) ships once in the closure."""
+    m, ks_eff, dsub = C.shape
+    cn2 = 0.5 * (C * C).sum(axis=2)  # (m, ks)
+
+    def encode(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(dict(vid=pd.Series(dtype="int64"),
+                                        codes=pd.Series(dtype="object")))
+                continue
+            E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            if E.shape[1] != m * dsub:
+                E = np.pad(E, ((0, 0), (0, m * dsub - E.shape[1])))
+            codes = np.empty((len(E), m), dtype=np.uint8)
+            for j in range(m):
+                # argmin ||x_j − c||² == argmax (x_j·c − ½||c||²)
+                codes[:, j] = np.argmax(E[:, j * dsub:(j + 1) * dsub] @ C[j].T - cn2[j], axis=1)
+            yield pd.DataFrame(dict(vid=pdf[id_col].to_numpy(),
+                                    codes=[r.tobytes() for r in codes]))
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, _PQ_CODE_SCHEMA)
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
+            ks: int = 64, iters: int = 8, seed: int = 11, refine: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            exclude_self: bool = True, sample_rows: int = 4096,
+            batch_queries: int = 4096) -> DataFrame:
+    """PQ-ADC top-k (cosine): train m per-subspace codebooks on a seeded
+    md5-bucket sample, encode the corpus to m-byte codes executor-side, scan
+    CODES (not vectors) with a per-query lookup table, then exact-re-rank the
+    top refine·k ADC candidates with the JVM zip_with dot product.
+
+    Scale shape: the only full pass touches the m-byte codes table
+    (asymmetric distance = m table lookups per row, numpy-gathered per
+    partition); the exact re-rank joins refine·k·|Q| candidate pairs back to
+    the vectors — candidate volume is independent of corpus size. Query
+    batches stream through the driver bounded (as brute_topk), each batch
+    O(batch_queries·m·ks) LUT memory. refine=0 returns raw ADC scores
+    (approximate sims) without the re-rank join."""
+    C, dim, dsub = _pq_train(embeddings, m, ks, iters, seed, sample_rows, id_col, vec_col)
+    coded = pq_encode(embeddings, C, dim, id_col, vec_col)
+    nq_keep = max(k * refine, k)
+
+    def scan_with(qids: np.ndarray, Q: np.ndarray):
+        if Q.shape[1] != m * dsub:
+            Q = np.pad(Q, ((0, 0), (0, m * dsub - Q.shape[1])))
+        lut = np.stack([Q[:, j * dsub:(j + 1) * dsub] @ C[j].T for j in range(m)], axis=1)  # (nq, m, ks)
+
+        def local_topk(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
+                    continue
+                ids = pdf["vid"].to_numpy()
+                codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8).reshape(len(ids), m)
+                S = np.zeros((len(qids), len(ids)))
+                for j in range(m):
+                    S += lut[:, j, :][:, codes[:, j]]
+                if exclude_self:
+                    for qi, qid in enumerate(qids):
+                        S[qi, ids == qid] = -np.inf
+                kk = min(nq_keep, S.shape[1])
+                top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                out = pd.DataFrame(dict(query_id=np.repeat(qids, kk),
+                                        neighbor_id=ids[top.ravel()],
+                                        sim=np.take_along_axis(S, top, axis=1).ravel()))
+                yield out[np.isfinite(out["sim"])]
+
+        return coded.mapInPandas(local_topk, _PAIR_SCHEMA)
+
+    local, buf_ids, buf_vecs = None, [], []
+
+    def flush():
+        nonlocal local, buf_ids, buf_vecs
+        if not buf_ids:
+            return
+        part = scan_with(np.asarray(buf_ids), _norm_rows(np.stack(buf_vecs).astype("float64")))
+        local = part if local is None else local.unionByName(part)
+        buf_ids, buf_vecs = [], []
+
+    for row in queries.select(id_col, vec_col).toLocalIterator():
+        buf_ids.append(row[id_col])
+        buf_vecs.append(np.asarray(row[vec_col]))
+        if len(buf_ids) >= batch_queries:
+            flush()
+    flush()
+    if local is None:
+        return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA) \
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    cand = (local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nq_keep)
+            .select("query_id", "neighbor_id"))
+    if refine <= 0:
+        return (local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+                .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
+    e1 = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    e2 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dot = F.aggregate(F.zip_with("ev", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+                                       F.lit(0.0), lambda acc, x: acc + x))
+    scored = (cand.join(e1, "neighbor_id").join(e2, "query_id")
+              .withColumn("sim", dot / (nrm("ev") * nrm("qv"))))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))

@@ -180,3 +180,38 @@ def ngram_counts_sql(n: int = 2, k: int = 100, col: str = "text",
           ) GROUP BY ngram
         ) ORDER BY doc_freq DESC, ngram ASC LIMIT {k}
     """
+
+
+# ------------------------------------------------------------- BPE pre-token
+# GPT-2-style pre-tokenizer classes, written RE2-compatible (no lookahead) so
+# the SAME pattern string runs through Java regex (Spark regexp_count) and
+# RE2 (DuckDB regexp_extract_all) with identical leftmost-first alternation:
+# contractions | space?+letters | space?+digits | space?+punct-run.
+# Whitespace between tokens is simply unmatched (not a token).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-doc token budget columns for training-data sizing: whitespace
+    token count, BPE-ish pre-token count (the quantity that tracks real
+    tokenizer output within a few %), and chars-per-pretoken (a compression
+    proxy — prose sits near 4, code/junk drifts low). One codegen projection,
+    zero Python, zero shuffle; regexp_count is a single JVM scan per row."""
+    n_ws = F.expr(n_tokens_sql(col))
+    n_bpe = F.regexp_count(F.col(col), F.lit(BPE_PRETOKEN_RE))
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length(col) / F.greatest(n_bpe, F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+def bpe_token_counts_oracle_sql(col: str = "text") -> str:
+    """DuckDB rendering of bpe_token_counts (same regex, RE2 side)."""
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    nb = f"len(regexp_extract_all({col}, '{pat}'))"
+    return (f"SELECT doc_id, {n_tokens_sql(col)} AS n_ws_tokens, "
+            f"CAST({nb} AS INT) AS n_bpe_tokens, "
+            f"round(length({col}) / greatest({nb}, 1), 6) AS chars_per_token "
+            f"FROM documents")

@@ -131,6 +131,44 @@ class TestSimilarity:
         assert lrecall >= 0.5, lrecall
         assert irecall >= 0.5, irecall
 
+    def test_pq_codes_shape_and_compression(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import _pq_train, pq_encode
+        C, dim, dsub = _pq_train(emb, m=8, ks=16, iters=4, seed=11,
+                                 sample_rows=4096, id_col="vec_id", vec_col="embedding")
+        assert C.shape == (8, 16, dsub) and 8 * dsub >= dim
+        coded = pq_encode(emb, C, dim).toPandas()
+        assert len(coded) == emb.count()
+        assert all(len(b) == 8 for b in coded["codes"])  # 8 bytes/vector vs 4·dim
+        codes = np.frombuffer(b"".join(coded["codes"]), dtype=np.uint8)
+        assert codes.max() < 16  # codes index the ks=16 codebook
+
+    def test_pq_recall_with_rerank(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import brute_topk, pq_topk
+        queries = emb.filter("vec_id % 100 = 0")
+        truth = brute_topk(emb, queries, k=5).toPandas()
+        tset = set(zip(truth["query_id"], truth["neighbor_id"]))
+        got = pq_topk(emb, queries, k=5, m=8, ks=32, refine=8).toPandas()
+        # exact re-rank → sims of agreeing pairs must MATCH brute exactly
+        tmap = {(q, n): s for q, n, s in truth.itertuples(index=False)}
+        for q, n, s in got.itertuples(index=False):
+            if (q, n) in tmap:
+                assert abs(s - tmap[(q, n)]) < 1e-9
+        recall = len(set(zip(got["query_id"], got["neighbor_id"])) & tset) / len(tset)
+        assert recall >= 0.6, recall
+
+    def test_pq_adc_only_path(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import pq_topk
+        queries = emb.filter("vec_id % 200 = 0")
+        got = pq_topk(emb, queries, k=3, m=8, ks=16, refine=0).toPandas()
+        nq = queries.count()
+        assert len(got) == 3 * nq
+        assert (got.groupby("query_id").size() == 3).all()
+        # deterministic: same seed, same result
+        again = pq_topk(emb, queries, k=3, m=8, ks=16, refine=0).toPandas()
+        a = got.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+        b = again.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+        assert a.equals(b)
+
 
 class TestKnnTiles:
     def test_matches_bruteforce(self, spark):

@@ -97,3 +97,37 @@ class TestNgramCounts:
             cnt.update(grams)
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
         assert got == want
+
+
+class TestBpeTokenCounts:
+    def test_hand_checked_examples(self, spark):
+        from gdalcubes_spark.pipeline.text import bpe_token_counts
+        rows = [
+            # "it's a test" → ["it", "'s", " a", " test"] = 4 pre-tokens
+            (0, "it's a test"),
+            # "x = 42;" → ["x", " =", " 42", ";"] = 4
+            (1, "x = 42;"),
+            # "hello" → 1
+            (2, "hello"),
+            # digits split from letters: "abc123" → ["abc", "123"] = 2
+            (3, "abc123"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(df).collect()}
+        assert got == {0: 4, 1: 4, 2: 1, 3: 2}
+
+    def test_matches_python_re_on_corpus(self, spark):
+        import regex  # stdlib 're' lacks \p classes; fall back if absent
+        from gdalcubes_spark.pipeline.text import BPE_PRETOKEN_RE, bpe_token_counts
+        docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 100")
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(docs).collect()}
+        pat = regex.compile(BPE_PRETOKEN_RE)
+        for r in docs.select("doc_id", "text").collect():
+            assert got[r["doc_id"]] == len(pat.findall(r["text"])), r["doc_id"]
+
+    def test_zero_shuffle_plan(self, spark):
+        from gdalcubes_spark.pipeline.text import bpe_token_counts
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = bpe_token_counts(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
