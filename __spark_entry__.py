@@ -263,6 +263,14 @@ def _q_text_tokens(spark, sf_dir):
     return bpe_token_counts(d)
 
 
+def _q_text_tfidf(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms (smooth idf, sklearn convention) — two
+    map-side-combinable shuffles + one tok equi-join; DuckDB-oracled."""
+    from gdalcubes_spark.pipeline.text import tfidf_top_terms
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(d, k=3)
+
+
 def _q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints: md5 window hashes, smallest-4 per doc —
     zero-shuffle codegen plan with a bit-identical DuckDB oracle."""
@@ -384,6 +392,23 @@ def _q_embed_neardup(spark, sf_dir):
     clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
                         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
     return cosine_neardup_pairs_bucketed(emb.unionByName(clones), threshold=0.999)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """END-TO-END semantic dedup: bucketed embedding near-dup pairs →
+    large-star/small-star connected components → every vector labeled
+    (cluster, cluster_size, keep). The full keep/drop decision a training
+    pipeline consumes, oracled by the all-pairs cosine CTE + recursive
+    transitive closure in DuckDB."""
+    from gdalcubes_spark.pipeline.components import dedup_clusters
+    from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    allv = emb.unionByName(clones)
+    pairs = cosine_neardup_pairs_bucketed(allv, threshold=0.999)
+    return dedup_clusters(allv, pairs, id_col="vec_id")
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -642,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
+        "text_tfidf": _q_text_tfidf,
         "text_winnow": _q_text_winnow,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -656,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
@@ -871,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _text_stats_oracle(),
         "text_tokens": _text_tokens_oracle(),
+        "text_tfidf": _text_tfidf_oracle(),
         "text_winnow": _text_winnow_oracle(),
         "dedup_exact": "WITH " + _CLONES_SQL + """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -926,6 +954,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+              FROM embeddings
+            ),
+            pe AS (SELECT a.vec_id a, b.vec_id b
+                   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.v, b.v) >= 0.999),
+            sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+            walk(node, reach) AS (
+              SELECT vec_id, vec_id FROM emb
+              UNION
+              SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+            ),
+            lab AS (SELECT node AS vec_id, MIN(reach) AS cluster FROM walk GROUP BY node),
+            sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+            SELECT l.vec_id, l.cluster, sz.cluster_size, (l.vec_id = l.cluster) AS keep
+            FROM lab l JOIN sz USING (cluster)
         """,
         "cube_apply_time_cumsum": _CELLS_CTE + """
             SELECT it, iy, ix, CAST('v_csum' AS VARCHAR) AS band,
@@ -1074,6 +1123,11 @@ def _text_winnow_oracle() -> str:
 def _text_tokens_oracle() -> str:
     from gdalcubes_spark.pipeline.text import bpe_token_counts_oracle_sql
     return bpe_token_counts_oracle_sql()
+
+
+def _text_tfidf_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import tfidf_top_terms_oracle_sql
+    return tfidf_top_terms_oracle_sql(k=3)
 
 
 def _text_stats_oracle() -> str:

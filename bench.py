@@ -203,6 +203,21 @@ def make_queries(sf: float):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return text_features(d).groupBy("lang_pred").count().count()
 
+    def semantic_dedup(spark, sf_dir):
+        """End-to-end embedding dedup: hyperplane-bucket near-dup pairs →
+        connected components → keep/drop labels for every vector (corpus ∪
+        scaled clones). All executor-side — candidates from sign buckets,
+        exact zip_with verify, large-star/small-star clustering."""
+        from gdalcubes_spark.pipeline.components import dedup_clusters
+        from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+        allv = emb.unionByName(clones)
+        pairs = cosine_neardup_pairs_bucketed(allv, threshold=0.999)
+        return dedup_clusters(allv, pairs, id_col="vec_id").count()
+
     return {
         "scan_zonal": scan_zonal,
         "scan_scaling": scan_scaling,
@@ -213,6 +228,7 @@ def make_queries(sf: float):
         "dedup_jaccard_skew": dedup_jaccard_skew,
         "ann_topk": ann_topk,
         "text_stats": text_stats,
+        "semantic_dedup": semantic_dedup,
     }
 
 

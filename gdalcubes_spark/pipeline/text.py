@@ -215,3 +215,48 @@ def bpe_token_counts_oracle_sql(col: str = "text") -> str:
             f"CAST({nb} AS INT) AS n_bpe_tokens, "
             f"round(length({col}) / greatest({nb}, 1), 6) AS chars_per_token "
             f"FROM documents")
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by tf-idf (smooth idf: ln((N+1)/(df+1)) + 1,
+    the sklearn convention) — the lexical salience signal corpus-quality
+    filters and topic bucketing run on.
+
+    Scale shape: two map-side-combinable shuffles (term frequency on
+    (doc, tok), document frequency on tok) + one equi-join on tok. Stopword
+    tokens are hot keys; the groupBys partial-aggregate them, and the tf⋈df
+    join is AQE-skew-join eligible (df_t is vocabulary-sized — broadcast it
+    via spark.sql.autoBroadcastJoinThreshold when the vocab fits). Tokens
+    follow the module's whitespace convention so the DuckDB oracle is
+    bit-identical."""
+    toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(col)), " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    n = df.count()
+    scored = (tf.join(dft, "tok")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * (F.log((n + 1.0) / (F.col("df_t") + 1.0)) + F.lit(1.0)), 6)))
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+            .select(id_col, "tok", "tf", "tfidf"))
+
+
+def tfidf_top_terms_oracle_sql(k: int = 3, col: str = "text") -> str:
+    """DuckDB rendering of tfidf_top_terms (same tokenization/idf/rounding)."""
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(lower({col}), ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        dft AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS c FROM documents),
+        scored AS (SELECT doc_id, tok, tf,
+                          ROUND(tf * (LN((c + 1.0) / (df_t + 1.0)) + 1.0), 6) AS tfidf
+                   FROM tf JOIN dft USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tf, tfidf FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) <= {k}
+    """

@@ -131,3 +131,60 @@ class TestBpeTokenCounts:
         plan = bpe_token_counts(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestTfidf:
+    def test_matches_python_oracle(self, spark):
+        import collections
+        import math
+        from gdalcubes_spark.pipeline.text import tfidf_top_terms
+        docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 60")
+        got = tfidf_top_terms(docs, k=3).toPandas()
+        rows = docs.select("doc_id", "text").collect()
+        n = len(rows)
+        tf = {}
+        dfc = collections.Counter()
+        for r in rows:
+            toks = [t for t in r["text"].lower().split(" ") if t]
+            c = collections.Counter(toks)
+            tf[r["doc_id"]] = c
+            dfc.update(c.keys())
+        for did, c in tf.items():
+            scored = sorted(
+                ((round(cnt * (math.log((n + 1.0) / (dfc[t] + 1.0)) + 1.0), 6), t, cnt)
+                 for t, cnt in c.items()),
+                key=lambda x: (-x[0], x[1]))[:3]
+            g = got[got.doc_id == did].sort_values(["tfidf", "tok"], ascending=[False, True])
+            assert [(s, t) for s, t, _ in scored] == list(zip(g["tfidf"], g["tok"])), did
+
+    def test_k_rows_per_doc(self, spark):
+        from gdalcubes_spark.pipeline.text import tfidf_top_terms
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = tfidf_top_terms(docs, k=2).toPandas()
+        per = got.groupby("doc_id").size()
+        assert (per <= 2).all() and len(per) == docs.count()
+
+
+class TestSemanticDedup:
+    def test_clone_clusters(self, spark):
+        from gdalcubes_spark.pipeline.components import dedup_clusters
+        from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
+        import pyspark.sql.functions as F
+        emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter("vec_id < 100")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+        allv = emb.unionByName(clones)
+        pairs = cosine_neardup_pairs_bucketed(allv, threshold=0.999)
+        out = dedup_clusters(allv, pairs, id_col="vec_id").toPandas()
+        assert len(out) == 200
+        by_id = out.set_index("vec_id")
+        for i in range(100):
+            # each clone joins its source's cluster; source (min id) is kept
+            assert by_id.loc[i, "cluster"] == by_id.loc[i + 100000, "cluster"]
+            assert by_id.loc[i + 100000, "cluster"] <= i
+            assert not by_id.loc[i + 100000, "keep"]
+        # keep flags: exactly one representative per cluster
+        reps = out[out.keep]
+        assert reps["cluster"].is_unique and set(reps["cluster"]) == set(out["cluster"])
