@@ -263,6 +263,13 @@ def run(sf_dir: str, cores: int, queries=None):
         # vs standalone)
         spark.catalog.clearCache()
         try:
+            from gdalcubes_spark.pipeline.dedup import release_caches
+            release_caches()
+            # catalog.clearCache() misses RDD-level persists (localCheckpoint
+            # blocks from iterative algorithms) — drop those too
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist()
             spark._jvm.System.gc()
         except Exception:
             pass

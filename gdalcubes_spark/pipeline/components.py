@@ -62,6 +62,7 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
     Returns (id, component). Isolated nodes don't appear in `pairs`, so they
     don't appear here either — left-join and coalesce(component, id) at the
     call site to label a full corpus."""
+    from gdalcubes_spark.pipeline.dedup import _CACHED
     edges = (pairs.select(F.col(src).cast("long").alias("src"),
                           F.col(dst).cast("long").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
@@ -78,11 +79,20 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
 
     prev = None
     for _ in range(max_rounds):
+        old = edges
         edges = _small_star(_large_star(edges)).localCheckpoint()
+        # localCheckpoint is eager: the new edge set is materialized, so the
+        # superseded round's blocks can go NOW — otherwise every round leaks
+        # a persisted RDD that catalog.clearCache() never touches and
+        # long-lived sessions degrade (observed 2-6x on later queries)
+        old.unpersist()
         cur = signature(edges)
         if cur == prev:
             break
         prev = cur
+    # the converged edge set backs the returned (lazy) DataFrame — register
+    # it for release_caches() so the NEXT pipeline query frees it
+    _CACHED.append(edges)
     # converged state: a star — every non-root points at its component min
     comp = (edges.select(F.greatest("src", "dst").alias("id"),
                          F.least("src", "dst").alias("component"))

@@ -36,6 +36,23 @@ def release_caches() -> None:
             pass
 
 
+def widen_input(df: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin repartition when the source has fewer partitions than
+    ~mult×cores. Compute-heavy per-row projections (64 minhashes × shingles,
+    hyperplane signatures, PQ encodes) cost ~10³× more than the bytes they
+    read, so a small parquet's 1-2 input splits serialize them on 1-2 of 32
+    cores — the INPUT-side twin of the scan's AQE task-count pinning
+    (cube.pin_group_partitions). At production scale the source has far more
+    splits than cores and this is a no-op; the repartition it adds here
+    shuffles only the raw rows once, repaid immediately by full-width
+    execution of everything downstream."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism * mult
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the smallest id per identical (normalized) text. Returns the
     surviving rows' ids + group size."""
@@ -109,7 +126,7 @@ def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     words = F.split(F.lower(F.col(text_col)), " +")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))))
-    return df.select(id_col, F.array_distinct(sh).alias("shingles"))
+    return widen_input(df).select(id_col, F.array_distinct(sh).alias("shingles"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -197,7 +214,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     which makes the whole near-dup pipeline oracle-able end to end."""
     if hash_fn == "md5":
         bits = min(bits, 60)  # 15 hex chars stay inside a signed 64-bit long
-    toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("tok"))
+    toks = (widen_input(df)
+            .select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("tok"))
             .filter(F.col("tok") != ""))
     if hash_fn == "md5":
         h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")

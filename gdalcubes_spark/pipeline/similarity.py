@@ -67,7 +67,8 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 out = pd.DataFrame(rows)
                 yield out[np.isfinite(out["sim"])]
 
-        return embeddings.select(id_col, vec_col).mapInPandas(local_topk, _PAIR_SCHEMA)
+        from gdalcubes_spark.pipeline.dedup import widen_input
+        return widen_input(embeddings.select(id_col, vec_col)).mapInPandas(local_topk, _PAIR_SCHEMA)
 
     local = None
     buf_ids, buf_vecs = [], []
@@ -127,7 +128,8 @@ def _hyperplane_signatures(df: DataFrame, planes: np.ndarray,
                 frames.append(pd.DataFrame(dict(vid=ids, table=t, bucket=bucket)))
             yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(signatures, _SIG_SCHEMA)
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    return widen_input(df.select(id_col, vec_col)).mapInPandas(signatures, _SIG_SCHEMA)
 
 
 def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -209,7 +211,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
             E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
             yield pd.DataFrame(dict(vid=ids, centroid=np.argmax(E @ C.T, axis=1).astype("int32")))
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    assigned = widen_input(embeddings.select(id_col, vec_col)).mapInPandas(assign, assign_schema)
 
     probe_schema = T.StructType([T.StructField("qid", T.LongType(), False),
                                  T.StructField("centroid", T.IntegerType(), False)])
@@ -279,7 +282,8 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                 keep = a < b  # dedupe + drop self
                 yield pd.DataFrame(dict(ida=a[keep], idb=b[keep], sim=S[qi, ei][keep]))
 
-        return embeddings.select(id_col, vec_col).mapInPandas(emit, _NEARDUP_SCHEMA)
+        from gdalcubes_spark.pipeline.dedup import widen_input
+        return widen_input(embeddings.select(id_col, vec_col)).mapInPandas(emit, _NEARDUP_SCHEMA)
 
     out = None
     buf_ids, buf_vecs = [], []
@@ -420,7 +424,8 @@ def pq_encode(embeddings: DataFrame, C: np.ndarray, dim: int,
             yield pd.DataFrame(dict(vid=pdf[id_col].to_numpy(),
                                     codes=[r.tobytes() for r in codes]))
 
-    return embeddings.select(id_col, vec_col).mapInPandas(encode, _PQ_CODE_SCHEMA)
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    return widen_input(embeddings.select(id_col, vec_col)).mapInPandas(encode, _PQ_CODE_SCHEMA)
 
 
 def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
