@@ -106,8 +106,27 @@ def _bbox_in_view_srs(images: DataFrame, view: CubeView) -> DataFrame:
             .drop("_v"))
 
 
+def _choose_overview_level(levels, native_bbox, dxv, dyv) -> int:
+    """COG overview selection (what gdalwarp does against a COG): pick the
+    deepest pyramid level whose pixel size stays at least 2× FINER than the
+    target cell size, so near/bilinear sampling keeps full quality while the
+    decode touches 4^level fewer pixels. levels = [(h, w), ...] full-res
+    first; returns 0 when no overview qualifies."""
+    il, ir, ib_, it_ = native_bbox
+    h0, w0 = levels[0]
+    pdx0 = (ir - il) / w0
+    pdy0 = (it_ - ib_) / h0
+    # how many times coarser the target grid is than the full-res pixels
+    ratio = min(dxv / pdx0, dyv / pdy0)
+    k = 0
+    while k + 1 < len(levels) and 2.0 ** (k + 1) * 2.0 <= ratio:
+        k += 1
+    return k
+
+
 def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resampling,
-                  nb_expected, vbbox, band_idx=None, dxv=None, dyv=None):
+                  nb_expected, vbbox, band_idx=None, dxv=None, dyv=None,
+                  use_overviews=False):
     """Decode one image and sample it at cube cell centers — but ONLY over the
     sub-window of the chunk the image's bbox covers (vbbox = bbox in view
     SRS). Cost is O(covered cells), not O(chunk cells): at scale most images
@@ -134,7 +153,17 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
     x_off, y_off = int(xi[0]), int(yi[0])
     sxs, sys_ = xs[xi[0]: xi[-1] + 1], ys[yi[0]: yi[-1] + 1]
 
-    arr = codecs.decode(bytes(payload), fmt)  # (nb, h, w) uint8
+    if use_overviews and fmt == "tif":
+        # COG fast path: pick a pyramid level from metadata alone, decode
+        # only that level's tiles — 4^level fewer pixels through zlib and
+        # the resampler. pdx/pdy below derive from the DECODED shape, so
+        # every sampling path downstream is level-agnostic.
+        from gdalcubes_spark.tiffcodec import decode_geotiff, peek_levels
+        levels = peek_levels(bytes(payload))
+        lv = _choose_overview_level(levels, native_bbox, dxv, dyv)
+        arr = decode_geotiff(bytes(payload), level=lv)[0]
+    else:
+        arr = codecs.decode(bytes(payload), fmt)  # (nb, h, w) uint8
     nb, h, w = arr.shape
     if nb != nb_expected:
         raise ValueError(f"image has {nb} bands, collection declares {nb_expected}")
@@ -338,7 +367,8 @@ class _AggState:
 
 def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 chunking: Optional[ChunkGrid] = None, mask: Optional[ImageMask] = None,
-                salt: int = 0, band_sel: Optional[List[str]] = None) -> Cube:
+                salt: int = 0, band_sel: Optional[List[str]] = None,
+                use_overviews: bool = False) -> Cube:
     """Build a cube from the image inventory DataFrame (synth.IMAGE_SCHEMA).
 
     bands: names for the nb payload bands (the collection band dictionary).
@@ -347,7 +377,13 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
     band_sel: scan-level band pushdown (select_bands on a raster_cube calls
     back into this, mirroring select_bands.h:50-90 / the SQL band filter at
     image_collection.cpp:1385-1392): only the selected bands (plus the mask
-    band, if any) are sampled/aggregated/shuffled."""
+    band, if any) are sampled/aggregated/shuffled.
+    use_overviews: COG fast path for fmt='tif' payloads — decode the pyramid
+    level matched to the view resolution (kept ≥2× finer than the target
+    cells) instead of full res; what gdalwarp does against a COG. Off by
+    default because overview pixels are block means, so values differ from
+    a full-res warp at the last ulp — enable when the view is much coarser
+    than the sources and the decode dominates (the usual 100 TB case)."""
     g = chunking or default_chunking(view)
     view_epsg = parse_epsg(view.srs)
     full_bands = list(bands)
@@ -413,7 +449,7 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                                 (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
                                 int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
                                 (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
-                                band_idx, dxv=dx, dyv=dy)
+                                band_idx, dxv=dx, dyv=dy, use_overviews=use_overviews)
             if res is None:
                 continue
             vals, oy, ox = res
@@ -433,7 +469,8 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
     if salt > 0 and agg in DECOMPOSABLE:
         cube = _salted_scan(exploded, view, out_bands, g, mask, salt,
                             build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
-                                       mask_idx, nb_payload, band_idx, out_idx))
+                                       mask_idx, nb_payload, band_idx, out_idx,
+                                       use_overviews))
     else:
         # Pin the decode shuffle's task count: AQE coalesces by POST-SHUFFLE
         # BYTES, but this stage's rows are compressed image refs whose decode/
@@ -457,7 +494,8 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
     """Two-phase skew-proof scan: partial aggregation per (chunk_id, salt
     bucket of image_id), then merge per chunk_id. Bounds any single task to
     ~|images_in_chunk|/salt decodes (north-rule skew handling)."""
-    vleft, vtop, dx, dy, view_epsg, resampling, nb, agg, mask_idx, nb_payload, band_idx, out_idx = build_ctx
+    (vleft, vtop, dx, dy, view_epsg, resampling, nb, agg, mask_idx,
+     nb_payload, band_idx, out_idx, use_overviews) = build_ctx
 
     from pyspark.sql import types as T
 
@@ -498,7 +536,7 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
                                 (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
                                 int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
                                 (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
-                                band_idx, dxv=dx, dyv=dy)
+                                band_idx, dxv=dx, dyv=dy, use_overviews=use_overviews)
             if res is None:
                 continue
             vals, oy, ox = res

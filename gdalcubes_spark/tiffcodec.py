@@ -386,6 +386,25 @@ def decode_geotiff(b: bytes, level: int = 0) -> Tuple[np.ndarray, dict]:
     return _decode_level(b, all_tags[level], e), meta
 
 
+def peek_levels(b: bytes) -> list:
+    """Parse ONLY the IFD chain (no tile decode) and return [(h, w), ...]
+    per pyramid level — the cheap metadata read a COG range-GET would do.
+    For the in-memory codec path this costs microseconds; the point is that
+    overview selection never touches pixel data of levels it skips."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a classic TIFF")
+    (at,) = struct.unpack_from(f"{e}I", b, 4)
+    out = []
+    while at:
+        tags, at = _read_ifd(b, at, e)
+        out.append((int(_scalar(tags, 257)), int(_scalar(tags, 256))))
+    return out
+
+
 def cog_layout_report(b: bytes) -> dict:
     """Structural audit used by tests: are all IFDs before all tile data,
     and is tile data ordered lowest-resolution-first (the COG property)?"""

@@ -235,3 +235,61 @@ class TestWriteTifSink:
         c, _, _ = self._cube(spark)
         with pytest.raises(ValueError, match="nodata"):
             c.write_tif(str(tmp_path / "bad"), packing=Packing(type="float32"))
+
+
+class TestCogOverviewScan:
+    def test_level_selection_math(self):
+        from gdalcubes_spark.sources.raster_cube import _choose_overview_level
+        levels = [(64, 64), (32, 32), (16, 16), (8, 8)]
+        bbox = (0.0, 64.0, 0.0, 64.0)  # full-res pixel = 1.0
+        assert _choose_overview_level(levels, bbox, 1.0, 1.0) == 0     # same res
+        assert _choose_overview_level(levels, bbox, 3.9, 3.9) == 0     # <2x margin for level 1
+        assert _choose_overview_level(levels, bbox, 4.0, 4.0) == 1     # 2^1*2 <= 4
+        assert _choose_overview_level(levels, bbox, 8.0, 8.0) == 2
+        assert _choose_overview_level(levels, bbox, 100.0, 100.0) == 3  # clamps to deepest
+        assert _choose_overview_level(levels, bbox, 8.0, 1.0) == 0      # anisotropic: min rules
+
+    def _cog_inventory(self, spark):
+        import pandas as pd
+        from gdalcubes_spark import codecs
+        from gdalcubes_spark.synth import IMAGE_SCHEMA
+        iy, ix = np.mgrid[0:64, 0:64]
+        ramp = ((ix + iy) // 2 + 40).astype(np.uint8)[None]  # linear, smooth
+        cog = tc.encode_geotiff(ramp, tile=16, overviews=True)
+        assert len(tc.peek_levels(cog)) == 3  # 64 -> 32 -> 16
+        row = dict(image_id="img_0", bytes=cog, w=64, h=64, fmt="tif",
+                   caption="cog", phash=codecs.phash64(ramp),
+                   left=0.0, right=64.0, bottom=0.0, top=64.0,
+                   datetime=pd.Timestamp("2021-01-01"), epsg=4326,
+                   nleft=0.0, nright=64.0, nbottom=0.0, ntop=64.0)
+        return spark.createDataFrame(pd.DataFrame([row]), IMAGE_SCHEMA), ramp
+
+    def test_overview_scan_matches_fullres_on_linear_content(self, spark):
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        imgs, ramp = self._cog_inventory(spark)
+        # view 8x coarser than source pixels -> level 2 (4x) is used
+        v = CubeView.create(srs="EPSG:4326", left=0, right=64, bottom=0, top=64,
+                            t0="2021-01-01", t1="2021-01-01", dt="P1D",
+                            dx=8.0, dy=8.0, aggregation="first", resampling="bilinear")
+        g = ChunkGrid(nt=1, ny=8, nx=8, ct=1, cy=8, cx=8)
+        full = raster_cube(imgs, v, ["B01"], chunking=g).collect_array()
+        fast = raster_cube(imgs, v, ["B01"], chunking=g, use_overviews=True).collect_array()
+        assert full.shape == fast.shape == (1, 1, 8, 8)
+        # block means of a linear ramp are the same plane: overview sampling
+        # agrees with the full-res warp up to uint8 rounding per level
+        assert np.allclose(fast, full, atol=1.5)
+        assert not np.any(np.isnan(fast))
+
+    def test_overview_scan_exact_when_view_is_fine(self, spark):
+        # ratio < 4 -> level 0 chosen -> results are bit-identical
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        imgs, _ = self._cog_inventory(spark)
+        v = CubeView.create(srs="EPSG:4326", left=0, right=64, bottom=0, top=64,
+                            t0="2021-01-01", t1="2021-01-01", dt="P1D",
+                            dx=2.0, dy=2.0, aggregation="first", resampling="near")
+        g = ChunkGrid(nt=1, ny=32, nx=32, ct=1, cy=32, cx=32)
+        full = raster_cube(imgs, v, ["B01"], chunking=g).collect_array()
+        fast = raster_cube(imgs, v, ["B01"], chunking=g, use_overviews=True).collect_array()
+        assert np.array_equal(np.nan_to_num(full), np.nan_to_num(fast))
