@@ -439,6 +439,16 @@ def _q_ann_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5, m=8, ks=32, refine=4)
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """rows-only: IVF list pruning + PQ-ADC candidate scoring + exact
+    re-rank — the billion-scale production ANN layout; pytest reports recall
+    vs brute and sim-exactness of agreeing pairs."""
+    from gdalcubes_spark.pipeline.similarity import ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    return ivfpq_topk(emb, queries, k=5, n_centroids=16, n_probe=6, m=8, ks=32, refine=4)
+
+
 def _q_apply_time_cumsum(spark, sf_dir):
     """apply_time (per-pixel time-series UDF, the R streaming analogue)
     running a cumulative sum along t — the one per-pixel-series op a SQL
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
         "knn_tiles": _q_knn_tiles,
         "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "multimodal_features": _q_multimodal_features,

@@ -514,3 +514,134 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
     w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 8, ks: int = 64,
+               iters: int = 6, seed: int = 11, refine: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = True, sample_rows: int = 4096) -> DataFrame:
+    """IVF+PQ — the billion-scale production layout: coarse centroids prune
+    the corpus to n_probe inverted lists per query, PQ codes (m bytes/vector)
+    score the surviving candidates by asymmetric distance, and the top
+    refine·k re-rank exactly with the JVM zip_with dot product.
+
+    Scale shape: the per-query work is O(|probed lists| · m) byte lookups —
+    independent of corpus size through the list pruning AND 32× lighter per
+    candidate through the codes; the only corpus-wide passes are the two
+    mapInPandas projections (assign + encode), both embarrassingly parallel.
+    Partition the coded table by `centroid` on a real cluster and the probe
+    join becomes partition-pruned."""
+    from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+
+    # --- train both quantizers on one md5-bucket sample (layout-independent)
+    n_total = embeddings.count()
+    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+    sample = (embeddings.select(F.col(id_col), F.col(vec_col))
+              .withColumn("_hb", _hash_bucket(id_col))
+              .filter(F.col("_hb") < int(frac * _BUCKETS))
+              .orderBy("_hb", id_col).limit(sample_rows)
+              .select(vec_col).toPandas())
+    X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            mbr = X[a == j]
+            if len(mbr):
+                C[j] = mbr.mean(axis=0)
+        C = _norm_rows(C)
+    CB, dim, dsub = _pq_train(embeddings, m, ks, iters, seed, sample_rows, id_col, vec_col)
+    cn2 = 0.5 * (CB * CB).sum(axis=2)
+
+    # --- one corpus pass: coarse assignment + PQ codes together
+    coded_schema = T.StructType([
+        T.StructField("vid", T.LongType(), False),
+        T.StructField("centroid", T.IntegerType(), False),
+        T.StructField("codes", T.BinaryType(), False),
+    ])
+
+    def assign_encode(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(dict(vid=pd.Series(dtype="int64"),
+                                        centroid=pd.Series(dtype="int32"),
+                                        codes=pd.Series(dtype="object")))
+                continue
+            E = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            cent = np.argmax(E @ C.T, axis=1).astype("int32")
+            Ep = E if E.shape[1] == m * dsub else np.pad(E, ((0, 0), (0, m * dsub - E.shape[1])))
+            codes = np.empty((len(E), m), dtype=np.uint8)
+            for j in range(m):
+                codes[:, j] = np.argmax(Ep[:, j * dsub:(j + 1) * dsub] @ CB[j].T - cn2[j], axis=1)
+            yield pd.DataFrame(dict(vid=pdf[id_col].to_numpy(), centroid=cent,
+                                    codes=[r.tobytes() for r in codes]))
+
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    coded = widen_input(embeddings.select(id_col, vec_col)).mapInPandas(assign_encode, coded_schema)
+
+    # --- query side: probes + ADC LUT rows, executor-side
+    q_schema = T.StructType([
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("centroid", T.IntegerType(), False),
+        T.StructField("lut", T.BinaryType(), False),  # float32 (m, ks) table
+    ])
+
+    def probes(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(dict(qid=pd.Series(dtype="int64"),
+                                        centroid=pd.Series(dtype="int32"),
+                                        lut=pd.Series(dtype="object")))
+                continue
+            Qm = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
+            Qp = Qm if Qm.shape[1] == m * dsub else np.pad(Qm, ((0, 0), (0, m * dsub - Qm.shape[1])))
+            order = np.argsort(-(Qm @ C.T), axis=1)[:, :n_probe]
+            luts = np.stack([Qp[:, j * dsub:(j + 1) * dsub] @ CB[j].T for j in range(m)], axis=1)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(dict(
+                qid=np.repeat(ids, order.shape[1]),
+                centroid=order.ravel().astype("int32"),
+                lut=[luts[i].astype("float32").tobytes() for i in np.repeat(np.arange(len(ids)), order.shape[1])]))
+
+    qprobe = queries.select(id_col, vec_col).mapInPandas(probes, q_schema)
+
+    # --- candidate scoring: equi-join on centroid, ADC per group (numpy)
+    def adc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
+        lut = np.frombuffer(pdf["lut"].iloc[0], dtype=np.float32).reshape(m, -1)
+        ids = pdf["vid"].to_numpy()
+        codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8).reshape(len(ids), m)
+        s = np.zeros(len(ids))
+        for j in range(m):
+            s += lut[j, codes[:, j]]
+        qid = int(key[0])
+        keep = np.ones(len(ids), dtype=bool)
+        if exclude_self:
+            keep = ids != qid
+        kk = min(max(k * refine, k), int(keep.sum()))
+        if kk == 0:
+            return pd.DataFrame({f.name: pd.Series(dtype="float64") for f in _PAIR_SCHEMA.fields})
+        si = s.copy()
+        si[~keep] = -np.inf
+        top = np.argpartition(-si, kk - 1)[:kk]
+        return pd.DataFrame(dict(query_id=np.full(kk, qid), neighbor_id=ids[top], sim=si[top]))
+
+    cand = (qprobe.join(coded, "centroid")
+            .groupBy("qid").applyInPandas(adc, _PAIR_SCHEMA)
+            .select("query_id", "neighbor_id"))
+    # --- exact re-rank of the ADC survivors
+    e1 = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    e2 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dot = F.aggregate(F.zip_with("ev", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+                                       F.lit(0.0), lambda acc, x: acc + x))
+    scored = (cand.join(e1, "neighbor_id").join(e2, "query_id")
+              .withColumn("sim", dot / (nrm("ev") * nrm("qv"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))

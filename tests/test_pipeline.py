@@ -156,6 +156,21 @@ class TestSimilarity:
         recall = len(set(zip(got["query_id"], got["neighbor_id"])) & tset) / len(tset)
         assert recall >= 0.6, recall
 
+    def test_ivfpq_recall_and_exact_sims(self, spark, emb):
+        from gdalcubes_spark.pipeline.similarity import brute_topk, ivfpq_topk
+        queries = emb.filter("vec_id % 100 = 0")
+        truth = brute_topk(emb, queries, k=5).toPandas()
+        tset = set(zip(truth["query_id"], truth["neighbor_id"]))
+        got = ivfpq_topk(emb, queries, k=5, n_centroids=8, n_probe=6,
+                         m=8, ks=32, refine=8).toPandas()
+        assert (got.groupby("query_id").size() <= 5).all()
+        tmap = {(q, n): s for q, n, s in truth.itertuples(index=False)}
+        for q, n, s in got.itertuples(index=False):
+            if (q, n) in tmap:
+                assert abs(s - tmap[(q, n)]) < 1e-9  # exact re-rank
+        recall = len(set(zip(got["query_id"], got["neighbor_id"])) & tset) / len(tset)
+        assert recall >= 0.5, recall
+
     def test_pq_adc_only_path(self, spark, emb):
         from gdalcubes_spark.pipeline.similarity import pq_topk
         queries = emb.filter("vec_id % 200 = 0")
