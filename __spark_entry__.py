@@ -327,6 +327,18 @@ def _q_sample_stratified(spark, sf_dir):
     return stratified_sample(d, "source", 25).select("doc_id", "source")
 
 
+_MIX_BUDGETS = {"src0": 800.0, "src1": 300.0, "src5": 1.0, "src7": 10_000_000.0}
+
+
+def _q_sample_mixture(spark, sf_dir):
+    """Token-budget data mixture (per-source greedy hash-ordered prefix
+    until the source's TOKEN budget is met) — two-phase exact plan; the
+    DuckDB oracle is the naive one-window form."""
+    from gdalcubes_spark.pipeline.sampling import mixture_by_tokens
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_by_tokens(d, _MIX_BUDGETS)
+
+
 def _q_text_ngrams(spark, sf_dir):
     """Top-50 bigrams by document frequency (vocabulary / contamination
     audit): per-row distinct-gram arrays in codegen, one shuffle, TakeOrdered."""
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sample_det": _q_sample_det,
         "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_sample_mixture,
         "text_ngrams": _q_text_ngrams,
         "text_quality_by_source": _q_text_quality_by_source,
         "seq_pack": _q_seq_pack,
@@ -995,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_det": _sample_det_oracle(),
         "sample_stratified": _sample_strat_oracle(),
+        "sample_mixture": _sample_mixture_oracle(),
         "text_ngrams": _text_ngrams_oracle(),
         "text_quality_by_source": _text_quality_by_source_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
@@ -1129,6 +1143,11 @@ def _text_winnow_oracle() -> str:
     from gdalcubes_spark.pipeline.text import rolling_fingerprints_sql
     return ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)\n"
             + rolling_fingerprints_sql())
+
+
+def _sample_mixture_oracle() -> str:
+    from gdalcubes_spark.pipeline.sampling import mixture_by_tokens_oracle_sql
+    return mixture_by_tokens_oracle_sql(_MIX_BUDGETS)
 
 
 def _text_tokens_oracle() -> str:

@@ -88,3 +88,94 @@ def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
     fb = (fb_rows.withColumn("_rk", F.row_number().over(w))
           .filter(F.col("_rk") <= n_per_group).select(*cols))
     return picked.unionByName(fb)
+
+
+def mixture_by_tokens(df: DataFrame, budgets: dict, group_col: str = "source",
+                      key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token-budget data mixture: per source, take the deterministic
+    hash-ordered PREFIX of documents until that source's token budget is
+    reached (the boundary document that crosses the budget is included —
+    greedy prefix, so every budget is met, never undershot). Sources absent
+    from `budgets` contribute nothing. Returns (key, group, n_tokens).
+
+    This is the "30% web / 50% code / 20% books, by TOKENS not documents"
+    op of training-mix construction, reproducible on any cluster / row
+    order / partitioning (pure function of md5(key)).
+
+    Scale shape (two-phase, exactness guaranteed like stratified_sample):
+    a naive per-source running-sum window funnels each source through one
+    task. Instead phase 1 aggregates token sums per (source, coarse bucket)
+    — ≤ ~3.9k rows per source — and classifies buckets: cumulative-before <
+    budget ≤ cumulative-inclusive marks the single BOUNDARY bucket; earlier
+    buckets pass whole (their inclusive cumulative ≤ budget ⇒ every doc's
+    before-sum < budget), later buckets are dropped. Phase 2 windows ONLY
+    the boundary bucket's docs (~corpus/3907 per source). Identical output
+    to the one-window form on any input."""
+    from gdalcubes_spark.pipeline.text import n_tokens_sql
+
+    coarse = 256  # 1e6 hash buckets // 256 → 3907 coarse buckets per source
+    budget_expr = F.coalesce(
+        *([F.when(F.col(group_col) == F.lit(s), F.lit(float(b))) for s, b in budgets.items()]
+          + [F.lit(None).cast("double")]))
+    with_b = (df
+              .withColumn("_tok", F.expr(n_tokens_sql(text_col)))
+              .withColumn("_hb", _hash_bucket(key_col))
+              .withColumn("_cb", (F.col("_hb") / coarse).cast("long"))
+              .withColumn("_budget", budget_expr)
+              .filter(F.col("_budget").isNotNull()))
+
+    bs = (with_b.groupBy(group_col, "_cb")
+          .agg(F.sum("_tok").alias("_bsum"), F.max("_budget").alias("_budget")))
+    wb = W.partitionBy(group_col).orderBy("_cb")
+    bs = (bs.withColumn("_cum", F.sum("_bsum").over(wb))
+          .withColumn("_before", F.col("_cum") - F.col("_bsum"))
+          .withColumn("_class", F.when(F.col("_cum") <= F.col("_budget"), F.lit("all"))
+                      .when(F.col("_before") < F.col("_budget"), F.lit("boundary"))
+                      .otherwise(F.lit("drop"))))
+
+    cls = bs.select(group_col, "_cb", "_class", "_before")
+    joined = with_b.join(cls, [group_col, "_cb"])
+    whole = joined.filter(F.col("_class") == "all")
+    wd = W.partitionBy(group_col).orderBy(F.col("_hb").asc(), F.col(key_col).asc())
+    boundary = (joined.filter(F.col("_class") == "boundary")
+                .withColumn("_cumdoc", F.sum("_tok").over(wd))
+                .filter(F.col("_before") + F.col("_cumdoc") - F.col("_tok") < F.col("_budget")))
+    out_cols = [F.col(key_col), F.col(group_col), F.col("_tok").alias("n_tokens")]
+    return whole.select(*out_cols).unionByName(boundary.select(*out_cols))
+
+
+def mixture_by_tokens_naive(df: DataFrame, budgets: dict, group_col: str = "source",
+                            key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-window reference form (the oracle shape) — used by tests to prove
+    the two-phase plan is exact; don't use at scale (one task per source)."""
+    from gdalcubes_spark.pipeline.text import n_tokens_sql
+    budget_expr = F.coalesce(
+        *([F.when(F.col(group_col) == F.lit(s), F.lit(float(b))) for s, b in budgets.items()]
+          + [F.lit(None).cast("double")]))
+    w = W.partitionBy(group_col).orderBy(_hash_bucket(key_col).asc(), F.col(key_col).asc())
+    return (df.withColumn("_tok", F.expr(n_tokens_sql(text_col)))
+            .withColumn("_budget", budget_expr).filter(F.col("_budget").isNotNull())
+            .withColumn("_cum", F.sum("_tok").over(w))
+            .filter(F.col("_cum") - F.col("_tok") < F.col("_budget"))
+            .select(F.col(key_col), F.col(group_col), F.col("_tok").alias("n_tokens")))
+
+
+def mixture_by_tokens_oracle_sql(budgets: dict, group_col: str = "source",
+                                 key_col: str = "doc_id", text_col: str = "text",
+                                 table: str = "documents") -> str:
+    """DuckDB rendering of the one-window form (identical rows)."""
+    from gdalcubes_spark.pipeline.text import n_tokens_sql
+    cases = " ".join(f"WHEN '{s}' THEN {float(b)}" for s, b in budgets.items())
+    return f"""
+        WITH t AS (
+          SELECT {key_col}, {group_col}, {n_tokens_sql(text_col)} AS n_tokens,
+                 CASE {group_col} {cases} ELSE NULL END AS budget,
+                 {hash_bucket_sql(key_col)} AS hb
+          FROM {table}
+        )
+        SELECT {key_col}, {group_col}, n_tokens FROM (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY {group_col}
+                                        ORDER BY hb, {key_col}) AS cum
+          FROM t WHERE budget IS NOT NULL
+        ) WHERE cum - n_tokens < budget
+    """

@@ -188,3 +188,38 @@ class TestSemanticDedup:
         # keep flags: exactly one representative per cluster
         reps = out[out.keep]
         assert reps["cluster"].is_unique and set(reps["cluster"]) == set(out["cluster"])
+
+
+class TestMixtureByTokens:
+    BUDGETS = {"src0": 800.0, "src1": 300.0, "src2": 1.0, "src3": 10_000_000.0}
+
+    def test_two_phase_equals_one_window(self, spark):
+        from gdalcubes_spark.pipeline.sampling import mixture_by_tokens, mixture_by_tokens_naive
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = mixture_by_tokens(docs, self.BUDGETS).toPandas()
+        want = mixture_by_tokens_naive(docs, self.BUDGETS).toPandas()
+        key = lambda p: sorted(map(tuple, p[["doc_id", "source", "n_tokens"]].to_numpy()))
+        assert key(got) == key(want)
+
+    def test_budget_semantics(self, spark):
+        from gdalcubes_spark.pipeline.sampling import mixture_by_tokens
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = mixture_by_tokens(docs, self.BUDGETS).toPandas()
+        sums = got.groupby("source")["n_tokens"].sum()
+        counts = got.groupby("source").size()
+        # greedy prefix: budget met (or the whole source taken), never
+        # exceeded by more than the boundary doc
+        maxdoc = got.groupby("source")["n_tokens"].max()
+        assert sums["src0"] >= 800 and sums["src0"] - maxdoc["src0"] < 800
+        assert sums["src1"] >= 300 and sums["src1"] - maxdoc["src1"] < 300
+        assert counts["src2"] == 1                 # tiny budget → boundary doc only
+        assert counts["src3"] == 25                # huge budget → whole source
+        assert set(got["source"]) == set(self.BUDGETS)  # unbudgeted sources absent
+
+    def test_deterministic_and_partitioning_independent(self, spark):
+        from gdalcubes_spark.pipeline.sampling import mixture_by_tokens
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = mixture_by_tokens(docs, self.BUDGETS).toPandas()
+        b = mixture_by_tokens(docs.repartition(17), self.BUDGETS).toPandas()
+        key = lambda p: sorted(map(tuple, p.to_numpy()))
+        assert key(a) == key(b)
