@@ -170,9 +170,13 @@ def _tif_encode(a: np.ndarray) -> bytes:
 
 
 def _tif_decode(b: bytes) -> np.ndarray:
+    """Unlike the 8-bit image formats, GeoTIFF payloads keep their NATIVE
+    sample type (uint16 DNs, float32 reflectance, packed ints) — the scan
+    promotes everything to float64 anyway, exactly like GDAL band data
+    entering gdalcubes (image_collection.h:49)."""
     from gdalcubes_spark.tiffcodec import decode_geotiff
     arr, _meta = decode_geotiff(b)
-    return arr.astype(np.uint8)
+    return arr
 
 
 # ------------------------------------------------------------------- api

@@ -293,3 +293,56 @@ class TestCogOverviewScan:
         full = raster_cube(imgs, v, ["B01"], chunking=g).collect_array()
         fast = raster_cube(imgs, v, ["B01"], chunking=g, use_overviews=True).collect_array()
         assert np.array_equal(np.nan_to_num(full), np.nan_to_num(fast))
+
+
+class TestExportReingestRoundtrip:
+    """The interchange loop: cube → write_tif COGs on disk → rebuild an
+    image inventory from the slices → raster_cube scans them back —
+    proving the exported GeoTIFFs are a self-sufficient collection."""
+
+    def test_roundtrip_through_disk(self, spark, tmp_path):
+        import pandas as pd
+        from gdalcubes_spark import codecs as _codecs
+        from gdalcubes_spark.cube import cube_from_array
+        from gdalcubes_spark.sources.raster_cube import ImageMask, raster_cube
+        from gdalcubes_spark.synth import IMAGE_SCHEMA
+
+        nt, ny, nx = 3, 16, 24
+        v = CubeView.create(srs="EPSG:4326", left=0, right=nx * 0.5, bottom=40,
+                            top=40 + ny * 0.5, t0="2021-01-01", t1=f"2021-01-{nt:02d}",
+                            dt="P1D", dx=0.5, dy=0.5, aggregation="first",
+                            resampling="near")
+        rng = np.random.default_rng(21)
+        arr = np.round(rng.uniform(0, 1000, size=(2, nt, ny, nx)), 2)
+        # NaN both bands: the mask (like gdalcubes' image_mask) NaNs every
+        # band at a masked pixel, so a one-band hole wouldn't round-trip
+        arr[:, 1, 4, 4] = np.nan
+        c = cube_from_array(spark, arr, v,
+                            chunking=ChunkGrid(nt=nt, ny=ny, nx=nx, ct=1, cy=8, cx=12))
+        res = sorted(c.write_tif(str(tmp_path / "exp"), dtype="float64").collect(),
+                     key=lambda r: r["it"])
+
+        rows = []
+        for r in res:
+            with open(r["file"], "rb") as fh:
+                payload = fh.read()
+            rows.append(dict(
+                image_id=f"img_{r['it']:012d}", bytes=payload, w=nx, h=ny, fmt="tif",
+                caption="export", phash=0,
+                left=v.left, right=v.right, bottom=v.bottom, top=v.top,
+                datetime=pd.Timestamp("2021-01-01") + pd.Timedelta(days=r["it"]),
+                epsg=4326, nleft=v.left, nright=v.right, nbottom=v.bottom, ntop=v.top))
+        inv = spark.createDataFrame(pd.DataFrame(rows), IMAGE_SCHEMA)
+        # GDAL maps the band nodata to NaN on read; emulate with a value mask
+        back = raster_cube(inv, v, ["band1", "band2"],
+                           chunking=ChunkGrid(nt=nt, ny=ny, nx=nx, ct=1, cy=16, cx=24),
+                           mask=ImageMask("band1", values=[-9999.0])).collect_array()
+        assert back.shape == arr.shape
+        assert np.array_equal(np.isnan(back), np.isnan(arr))
+        assert np.allclose(np.nan_to_num(back), np.nan_to_num(arr))  # float64 exact
+
+    def test_native_dtype_preserved_through_codec(self):
+        a = (np.arange(2 * 16 * 16) % 60000).astype(np.uint16).reshape(2, 16, 16)
+        from gdalcubes_spark import codecs as _codecs
+        out = _codecs.decode(tc.encode_geotiff(a, tile=16, overviews=False), "tif")
+        assert out.dtype == np.uint16 and np.array_equal(out, a)
