@@ -20,10 +20,10 @@ specification and the OGC GeoTIFF 1.1 standard:
   lowest-resolution tiles first — a range-GET of the first kilobytes yields
   every IFD plus a preview, exactly the property COG exists for.
 
-Classic TIFF offsets are u32 → files are capped at 4 GiB; `encode_geotiff`
-raises past that (per-slice exports here are far below it; a production
-cluster swaps in BigTIFF or GDAL at the same seam, the bytes stay
-interchangeable).
+Classic TIFF offsets are u32 (4 GiB cap); `encode_geotiff` auto-upgrades to
+**BigTIFF** (version 43: 64-bit offsets, 20-byte IFD entries, LONG8 tile
+offsets) when the layout would overflow, or on request (`bigtiff=True`) —
+so arbitrarily large slices encode, and the reader handles both versions.
 
 The reader handles both byte orders, tiled and stripped layouts,
 Deflate(8/32946)/none, Predictor 1/2, and multiple IFDs, so the writer's
@@ -41,8 +41,11 @@ import numpy as np
 
 # TIFF value types we emit/understand
 _TY_BYTE, _TY_ASCII, _TY_SHORT, _TY_LONG, _TY_RATIONAL, _TY_DOUBLE = 1, 2, 3, 4, 5, 12
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TY_LONG8 = 16  # BigTIFF 64-bit unsigned
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 # numpy dtype → (bits, SampleFormat): 1=unsigned int, 2=signed int, 3=IEEE float
 _DTYPES = {
@@ -61,10 +64,17 @@ def _pack_values(ty: int, values) -> bytes:
 
 
 class _IfdBuilder:
-    """One IFD: entries + out-of-line value area, rendered at a known offset."""
+    """One IFD: entries + out-of-line value area, rendered at a known offset.
+    `big=True` emits the BigTIFF layout (u64 entry count, 20-byte entries,
+    8-byte inline values, u64 next pointer)."""
 
-    def __init__(self):
+    def __init__(self, big: bool = False):
         self.tags: List[Tuple[int, int, int, object]] = []  # (tag, type, count, values)
+        self.big = big
+
+    @property
+    def _entry(self):  # (entry bytes, inline capacity, count/offset fmt)
+        return (20, 8, "Q") if self.big else (12, 4, "I")
 
     def add(self, tag: int, ty: int, values) -> None:
         if ty == _TY_ASCII:
@@ -77,26 +87,28 @@ class _IfdBuilder:
             self.tags.append((tag, ty, len(values), values))
 
     def size(self) -> int:
-        n = 2 + 12 * len(self.tags) + 4
+        esz, inline, _ = self._entry
+        n = (8 if self.big else 2) + esz * len(self.tags) + (8 if self.big else 4)
         for _, ty, count, _ in self.tags:
             sz = _TYPE_SIZE[ty] * count
-            if sz > 4:
+            if sz > inline:
                 n += sz + (sz & 1)  # keep value offsets even
         return n
 
     def render(self, at: int, next_ifd: int) -> bytes:
+        esz, inline, ofmt = self._entry
         tags = sorted(self.tags)  # TIFF requires ascending tag order
-        head = struct.pack("<H", len(tags))
+        head = struct.pack("<Q", len(tags)) if self.big else struct.pack("<H", len(tags))
         body, extra = b"", b""
-        voff = at + 2 + 12 * len(tags) + 4
+        voff = at + len(head) + esz * len(tags) + (8 if self.big else 4)
         for tag, ty, count, values in tags:
             payload = _pack_values(ty, values)
-            if len(payload) <= 4:
-                body += struct.pack("<HHI", tag, ty, count) + payload.ljust(4, b"\x00")
+            if len(payload) <= inline:
+                body += struct.pack(f"<HH{ofmt}", tag, ty, count) + payload.ljust(inline, b"\x00")
             else:
-                body += struct.pack("<HHII", tag, ty, count, voff + len(extra))
+                body += struct.pack(f"<HH{ofmt}{ofmt}", tag, ty, count, voff + len(extra))
                 extra += payload + (b"\x00" if len(payload) & 1 else b"")
-        return head + body + struct.pack("<I", next_ifd) + extra
+        return head + body + struct.pack(f"<{ofmt}", next_ifd) + extra
 
 
 def _tile_grid(h: int, w: int, tile: int) -> Tuple[int, int]:
@@ -169,12 +181,16 @@ def encode_geotiff(
     epsg: Optional[int] = None,
     overviews: bool = True,
     zlevel: int = 6,
+    bigtiff: Optional[bool] = None,
 ) -> bytes:
     """(nb, h, w) ndarray → Cloud-Optimized GeoTIFF bytes.
 
     `predictor=2` (horizontal differencing) is auto-enabled for integer
     dtypes under deflate unless explicitly passed; floats always use
     predictor 1. Overviews are factor-2 block means down to one tile.
+    `bigtiff`: True forces the BigTIFF (version 43, 64-bit offset) layout;
+    None (default) auto-upgrades when the classic u32 layout would overflow
+    4 GiB — so arbitrarily large slices always encode.
     """
     a = np.asarray(a)
     if a.ndim == 2:
@@ -245,25 +261,47 @@ def encode_geotiff(
         ifds.append(b)
 
     # layout: header | IFD blocks | tile data (smallest overview first = COG)
-    cursor = 8
-    ifd_at = []
-    for b in ifds:
-        ifd_at.append(cursor)
-        cursor += b.size()
-    tile_at: List[List[int]] = [[] for _ in levels]
-    for li in range(len(levels) - 1, -1, -1):
-        for t in level_tiles[li]:
-            tile_at[li].append(cursor)
-            cursor += len(t) + (len(t) & 1)
-    if cursor > 0xFFFFFFFF:
-        raise ValueError("classic TIFF is capped at 4 GiB; use BigTIFF/GDAL for larger slices")
+    def layout(big: bool):
+        for b in ifds:
+            b.big = big
+        cursor = 16 if big else 8
+        at = []
+        for b in ifds:
+            at.append(cursor)
+            cursor += b.size()
+        t_at: List[List[int]] = [[] for _ in levels]
+        for li in range(len(levels) - 1, -1, -1):
+            for t in level_tiles[li]:
+                t_at[li].append(cursor)
+                cursor += len(t) + (len(t) & 1)
+        return at, t_at, cursor
 
+    big = bool(bigtiff)
+    ifd_at, tile_at, end = layout(big)
+    if not big and end > 0xFFFFFFFF:
+        if bigtiff is False:
+            raise ValueError("classic TIFF is capped at 4 GiB; pass bigtiff=True/None")
+        big = True  # auto-upgrade to BigTIFF
+        ifd_at, tile_at, end = layout(True)
+
+    off_ty = _TY_LONG8 if big else _TY_LONG
     for li, b in enumerate(ifds):
         for i, (tag, ty, count, values) in enumerate(b.tags):
             if tag == 324:
-                b.tags[i] = (tag, ty, count, tile_at[li])
+                b.tags[i] = (tag, off_ty, count, tile_at[li])
+            elif tag == 325 and big:
+                b.tags[i] = (tag, off_ty, count, values)
+    if big:  # type upgrade changes value-area sizes → recompute offsets
+        ifd_at, tile_at, end = layout(True)
+        for li, b in enumerate(ifds):
+            for i, (tag, ty, count, values) in enumerate(b.tags):
+                if tag == 324:
+                    b.tags[i] = (tag, off_ty, count, tile_at[li])
 
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_at[0]))
+    if big:
+        out = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_at[0]))
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_at[0]))
     for li, b in enumerate(ifds):
         nxt = ifd_at[li + 1] if li + 1 < len(ifds) else 0
         out += b.render(ifd_at[li], nxt)
@@ -275,15 +313,46 @@ def encode_geotiff(
 
 # ----------------------------------------------------------------- reader
 
-def _read_ifd(b: bytes, at: int, e: str) -> Tuple[dict, int]:
-    (n,) = struct.unpack_from(f"{e}H", b, at)
+def _parse_header(b: bytes) -> Tuple[str, int, bool]:
+    """→ (endian char, first IFD offset, is_bigtiff)."""
+    if b[:2] == b"II":
+        e = "<"
+    elif b[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (version,) = struct.unpack_from(f"{e}H", b, 2)
+    if version == 42:
+        (at,) = struct.unpack_from(f"{e}I", b, 4)
+        return e, at, False
+    if version == 43:  # BigTIFF
+        osz, zero = struct.unpack_from(f"{e}HH", b, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (at,) = struct.unpack_from(f"{e}Q", b, 8)
+        return e, at, True
+    raise ValueError(f"unknown TIFF version {version}")
+
+
+def _read_ifd(b: bytes, at: int, e: str, big: bool = False) -> Tuple[dict, int]:
+    if big:
+        (n,) = struct.unpack_from(f"{e}Q", b, at)
+        head, esz, inline, ofmt = 8, 20, 8, "Q"
+    else:
+        (n,) = struct.unpack_from(f"{e}H", b, at)
+        head, esz, inline, ofmt = 2, 12, 4, "I"
     tags = {}
     for i in range(n):
-        tag, ty, count = struct.unpack_from(f"{e}HHI", b, at + 2 + 12 * i)
+        ent = at + head + esz * i
+        tag, ty = struct.unpack_from(f"{e}HH", b, ent)
+        (count,) = struct.unpack_from(f"{e}{ofmt}", b, ent + 4)
+        count = int(count)
+        val_at = ent + (12 if big else 8)
         sz = _TYPE_SIZE.get(ty, 1) * count
-        voff = at + 2 + 12 * i + 8
-        if sz > 4:
-            (voff,) = struct.unpack_from(f"{e}I", b, at + 2 + 12 * i + 8)
+        voff = val_at
+        if sz > inline:
+            (voff,) = struct.unpack_from(f"{e}{ofmt}", b, val_at)
+            voff = int(voff)
         if ty == _TY_ASCII:
             tags[tag] = b[voff: voff + count].split(b"\x00")[0].decode("latin-1")
         elif ty == _TY_RATIONAL:
@@ -293,8 +362,8 @@ def _read_ifd(b: bytes, at: int, e: str) -> Tuple[dict, int]:
             tags[tag] = list(struct.unpack_from(f"{e}{count}{_TYPE_FMT[ty]}", b, voff))
         else:
             tags[tag] = None
-    (nxt,) = struct.unpack_from(f"{e}I", b, at + 2 + 12 * n)
-    return tags, nxt
+    (nxt,) = struct.unpack_from(f"{e}{ofmt}", b, at + head + esz * n)
+    return tags, int(nxt)
 
 
 def _scalar(tags: dict, tag: int, default=None):
@@ -359,16 +428,10 @@ def decode_geotiff(b: bytes, level: int = 0) -> Tuple[np.ndarray, dict]:
     metadata dict carries left/top/dx/dy/epsg/nodata (None when absent) and
     the (h, w) of every level.
     """
-    if b[:4] == b"II*\x00":
-        e = "<"
-    elif b[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        raise ValueError("not a classic TIFF")
-    (at,) = struct.unpack_from(f"{e}I", b, 4)
+    e, at, big = _parse_header(b)
     all_tags = []
     while at:
-        tags, at = _read_ifd(b, at, e)
+        tags, at = _read_ifd(b, at, e, big)
         all_tags.append(tags)
     meta = {"levels": [(int(_scalar(t, 257)), int(_scalar(t, 256))) for t in all_tags],
             "left": None, "top": None, "dx": None, "dy": None, "epsg": None, "nodata": None}
@@ -391,16 +454,10 @@ def peek_levels(b: bytes) -> list:
     per pyramid level — the cheap metadata read a COG range-GET would do.
     For the in-memory codec path this costs microseconds; the point is that
     overview selection never touches pixel data of levels it skips."""
-    if b[:4] == b"II*\x00":
-        e = "<"
-    elif b[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        raise ValueError("not a classic TIFF")
-    (at,) = struct.unpack_from(f"{e}I", b, 4)
+    e, at, big = _parse_header(b)
     out = []
     while at:
-        tags, at = _read_ifd(b, at, e)
+        tags, at = _read_ifd(b, at, e, big)
         out.append((int(_scalar(tags, 257)), int(_scalar(tags, 256))))
     return out
 
@@ -408,19 +465,25 @@ def peek_levels(b: bytes) -> list:
 def cog_layout_report(b: bytes) -> dict:
     """Structural audit used by tests: are all IFDs before all tile data,
     and is tile data ordered lowest-resolution-first (the COG property)?"""
-    e = "<" if b[:2] == b"II" else ">"
-    (at,) = struct.unpack_from(f"{e}I", b, 4)
+    e, at, big = _parse_header(b)
+    head, esz, inline, ofmt = (8, 20, 8, "Q") if big else (2, 12, 4, "I")
     ifd_ends, level_first_tile = [], []
     while at:
-        tags, nxt = _read_ifd(b, at, e)
-        (n,) = struct.unpack_from(f"{e}H", b, at)
-        end = at + 2 + 12 * n + 4
+        tags, nxt = _read_ifd(b, at, e, big)
+        if big:
+            (n,) = struct.unpack_from(f"{e}Q", b, at)
+        else:
+            (n,) = struct.unpack_from(f"{e}H", b, at)
+        n = int(n)
+        end = at + head + esz * n + (8 if big else 4)
         for i in range(n):  # extend past every out-of-line value block
-            _tag, ty, count = struct.unpack_from(f"{e}HHI", b, at + 2 + 12 * i)
-            sz = _TYPE_SIZE.get(ty, 1) * count
-            if sz > 4:
-                (voff,) = struct.unpack_from(f"{e}I", b, at + 2 + 12 * i + 8)
-                end = max(end, voff + sz)
+            ent = at + head + esz * i
+            _tag, ty = struct.unpack_from(f"{e}HH", b, ent)
+            (count,) = struct.unpack_from(f"{e}{ofmt}", b, ent + 4)
+            sz = _TYPE_SIZE.get(ty, 1) * int(count)
+            if sz > inline:
+                (voff,) = struct.unpack_from(f"{e}{ofmt}", b, ent + (12 if big else 8))
+                end = max(end, int(voff) + sz)
         ifd_ends.append(end)
         level_first_tile.append(int(tags[324][0]) if 324 in tags else None)
         at = nxt
