@@ -125,6 +125,61 @@ def create_overviews(images: DataFrame, levels=(2, 4, 8), fmt: str = "png") -> D
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, OVERVIEW_SCHEMA)
 
 
+# ------------------------------------------------------------------ wav
+# Real RIFF/WAVE container (public Microsoft/IBM spec): PCM int16 and IEEE
+# float32, any channel count — the honest part of the audio pipeline is no
+# longer headerless PCM but genuine .wav bytes any tool plays. Compressed
+# codecs (mp3/flac/ogg) remain the documented stub seam.
+
+def encode_wav(x: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (channels, n) int16 or float32 → RIFF/WAVE bytes."""
+    import struct
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[None]
+    ch, n = x.shape
+    if x.dtype == np.int16:
+        fmt_code, bits = 1, 16
+    elif x.dtype == np.float32:
+        fmt_code, bits = 3, 32
+    else:
+        raise ValueError("wav supports int16 (PCM) or float32 (IEEE float)")
+    inter = np.ascontiguousarray(x.T)  # (n, ch) interleaved frames
+    data = inter.astype(x.dtype.newbyteorder("<")).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes):
+    """RIFF/WAVE bytes → ((channels, n) array, rate). PCM16 / float32 only;
+    other codecs raise (the stub seam)."""
+    import struct
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt_code, ch, rate, bits, data = 12, None, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        payload = b[pos + 8: pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt_code, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, 0)
+        elif cid == b"data":
+            data = payload
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("malformed wav: missing fmt/data chunk")
+    if fmt_code == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif fmt_code == 3 and bits == 32:
+        arr = np.frombuffer(data, dtype="<f4")
+    else:
+        raise NotImplementedError(f"wav format {fmt_code}/{bits}-bit needs an audio lib (STUB)")
+    return arr.reshape(-1, ch).T.copy(), rate
+
+
 AUDIO_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
     T.StructField("n_samples", T.LongType(), False),
@@ -134,9 +189,11 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """clips: (clip_id string, pcm binary) — pcm int16 little-endian mono.
-    STUB SEAM: a real pipeline would decode mp3/flac here (no audio libs in
-    this container); int16 PCM framing IS real and the feature math runs."""
+    """clips: (clip_id string, pcm binary) — raw int16 little-endian mono
+    PCM, or a genuine RIFF/WAVE container (decode_wav: PCM16/float32, any
+    channel count — multichannel is downmixed). STUB SEAM only for
+    compressed codecs: mp3/flac/ogg need an audio lib this container lacks;
+    the container parsing and feature math are real."""
 
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -145,7 +202,13 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
                 raw = bytes(row["pcm"])
                 if raw[:4] in (b"fLaC", b"ID3\x03", b"OggS"):
                     raise NotImplementedError("compressed audio decode needs an audio lib (STUB)")
-                x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+                if raw[:4] == b"RIFF":  # genuine .wav container (decode_wav)
+                    chans, _rate = decode_wav(raw)
+                    x = chans.astype("float64").mean(axis=0)
+                    if chans.dtype == np.int16:
+                        x = x / 32768.0
+                else:
+                    x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
                 zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 rows.append(dict(clip_id=row["clip_id"], n_samples=len(x),
                                  rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,

@@ -259,6 +259,33 @@ class TestMultimodal:
         with pytest.raises(Exception, match="STUB|NotImplemented"):
             audio_features(bad).collect()
 
+    def test_audio_wav_container(self, spark):
+        # genuine RIFF/WAVE payloads: same features as the raw-PCM path,
+        # stereo downmixed, float32 wavs accepted, exotic formats stub out
+        from gdalcubes_spark.pipeline.multimodal import audio_features, decode_wav, encode_wav
+        t = np.arange(1600)
+        mono = (np.sin(t * 0.1) * 20000).astype(np.int16)
+        wav = encode_wav(mono, 16000)
+        back, rate = decode_wav(wav)
+        assert rate == 16000 and np.array_equal(back[0], mono)
+        df = spark.createDataFrame(
+            [("wav", bytearray(wav)), ("raw", bytearray(mono.tobytes())),
+             ("stereo", bytearray(encode_wav(np.stack([mono, mono])))),
+             ("f32", bytearray(encode_wav((mono / 32768.0).astype(np.float32))))],
+            "clip_id string, pcm binary")
+        got = audio_features(df).toPandas().set_index("clip_id")
+        assert (got["n_samples"] == 1600).all()
+        assert abs(got.loc["wav", "rms"] - got.loc["raw", "rms"]) < 1e-12
+        assert abs(got.loc["stereo", "rms"] - got.loc["raw", "rms"]) < 1e-12
+        assert abs(got.loc["f32", "rms"] - got.loc["raw", "rms"]) < 1e-6
+        # 8-bit PCM (format 1 / bits 8) is outside the honest seam → stub
+        import struct
+        odd = encode_wav(mono)[:20] + struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8) \
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        bad = spark.createDataFrame([("u8", bytearray(odd))], "clip_id string, pcm binary")
+        with pytest.raises(Exception, match="STUB|NotImplemented"):
+            audio_features(bad).collect()
+
     def test_video_frame_sampling(self, spark):
         from gdalcubes_spark.pipeline.multimodal import sample_frames
         w, h, n = 4, 4, 25
