@@ -108,3 +108,64 @@ class TestSegmentedReduceProperties:
                 uq, cn = np.unique(grp, return_counts=True)
                 want = uq[cn == cn.max()].min()
             assert np.isclose(got[cell], want), (cell, method, grp, got[cell], want)
+
+
+class TestTiffProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        nb=st.integers(1, 4),
+        h=st.integers(1, 90),
+        w=st.integers(1, 90),
+        dtype=st.sampled_from(["uint8", "uint16", "int16", "int32", "float32", "float64"]),
+        tile=st.sampled_from([16, 32, 48]),
+        compress=st.sampled_from(["none", "deflate"]),
+        big=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_shape(self, nb, h, w, dtype, tile, compress, big, seed):
+        from gdalcubes_spark import tiffcodec as tc
+        rng = np.random.default_rng(seed)
+        a = (rng.random((nb, h, w)) * 1000 - 200).astype(dtype)
+        b = tc.encode_geotiff(a, tile=tile, compress=compress, bigtiff=big)
+        out, meta = tc.decode_geotiff(b)
+        assert out.dtype == a.dtype and np.array_equal(out, a)
+        rep = tc.cog_layout_report(b)
+        assert rep["ifds_before_data"] and rep["overview_tiles_first"]
+        assert meta["levels"] == tc.peek_levels(b)
+
+    @settings(max_examples=30, deadline=None)
+    @given(h=st.integers(2, 64), w=st.integers(2, 64), nodata=st.sampled_from([-9999.0, 0.0]),
+           seed=st.integers(0, 2**31 - 1))
+    def test_overview_mean_bounds(self, h, w, nodata, seed):
+        # overview values always lie within [min, max] of the valid data
+        from gdalcubes_spark import tiffcodec as tc
+        rng = np.random.default_rng(seed)
+        a = rng.uniform(-100, 100, (1, h, w))
+        b = tc.encode_geotiff(a, tile=16, nodata=nodata)
+        _, meta = tc.decode_geotiff(b)
+        for lv in range(1, len(meta["levels"])):
+            ov, _ = tc.decode_geotiff(b, level=lv)
+            valid = ov[ov != nodata] if not np.isnan(nodata) else ov[~np.isnan(ov)]
+            if valid.size:
+                assert valid.min() >= a.min() - 1e-9 and valid.max() <= a.max() + 1e-9
+
+
+class TestCellIndexProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(lon=st.floats(-179.99, 179.99), lat=st.floats(-89.99, 89.99),
+           fine=st.integers(1, 30))
+    def test_parent_consistency(self, lon, lat, fine):
+        from gdalcubes_spark.pipeline import cellindex as ci
+        coarse = max(0, fine - 7)
+        f = ci.cell_id(lon, lat, fine)
+        assert ci.parent(f, coarse)[0] == ci.cell_id(lon, lat, coarse)[0]
+        assert ci.level_of(f)[0] == fine
+
+    @settings(max_examples=40, deadline=None)
+    @given(lon=st.floats(-179.99, 179.99), lat=st.floats(-89.99, 89.99),
+           level=st.integers(0, 28))
+    def test_center_stays_in_cell(self, lon, lat, level):
+        from gdalcubes_spark.pipeline import cellindex as ci
+        ids = ci.cell_id(lon, lat, level)
+        clon, clat = ci.cell_center(ids)
+        assert ci.cell_id(clon, clat, level)[0] == ids[0]
