@@ -63,11 +63,24 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
     don't appear here either — left-join and coalesce(component, id) at the
     call site to label a full corpus."""
     from gdalcubes_spark.pipeline.dedup import _CACHED
-    edges = (pairs.select(F.col(src).cast("long").alias("src"),
-                          F.col(dst).cast("long").alias("dst"))
-             .filter(F.col("src") != F.col("dst"))
-             .distinct()
-             .localCheckpoint())
+
+    sc = pairs.sparkSession.sparkContext
+
+    def checkpointed(df: DataFrame):
+        """localCheckpoint + the JVM RDD handles it persisted. DataFrame.
+        unpersist() does NOT free checkpoint blocks (verified: the persistent
+        RDD count stays put), so release needs the JavaRDD handles."""
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint()
+        jmap = sc._jsc.getPersistentRDDs()
+        handles = [jmap.get(i) for i in jmap.keySet().toArray() if i not in before]
+        return out, handles
+
+    edges, live = checkpointed(
+        pairs.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct())
 
     def signature(e: DataFrame):
         r = (e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
@@ -79,20 +92,21 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
 
     prev = None
     for _ in range(max_rounds):
-        old = edges
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        old_live = live
+        edges, live = checkpointed(_small_star(_large_star(edges)))
         # localCheckpoint is eager: the new edge set is materialized, so the
         # superseded round's blocks can go NOW — otherwise every round leaks
-        # a persisted RDD that catalog.clearCache() never touches and
-        # long-lived sessions degrade (observed 2-6x on later queries)
-        old.unpersist()
+        # a persisted RDD that neither catalog.clearCache() nor
+        # DataFrame.unpersist() touches, and long sessions degrade
+        for h in old_live:
+            h.unpersist()
         cur = signature(edges)
         if cur == prev:
             break
         prev = cur
     # the converged edge set backs the returned (lazy) DataFrame — register
-    # it for release_caches() so the NEXT pipeline query frees it
-    _CACHED.append(edges)
+    # its block handles for release_caches() so the NEXT query frees them
+    _CACHED.extend(live)
     # converged state: a star — every non-root points at its component min
     comp = (edges.select(F.greatest("src", "dst").alias("id"),
                          F.least("src", "dst").alias("component"))

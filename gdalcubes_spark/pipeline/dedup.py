@@ -29,6 +29,10 @@ _CACHED: list = []
 
 
 def release_caches() -> None:
+    """Free every registered cache/checkpoint block. Collect (or persist
+    elsewhere) any still-needed result DataFrame FIRST: localCheckpoint
+    blocks registered by connected_components have truncated lineage, so
+    once released they cannot recompute."""
     while _CACHED:
         try:
             _CACHED.pop().unpersist()
