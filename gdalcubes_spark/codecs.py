@@ -90,11 +90,25 @@ def _png_decode(b: bytes) -> np.ndarray:
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(nb, stride):
-                line[i] = (line[i] + line[i - nb]) & 0xFF
+        elif ftype == 1:  # Sub: vectorized per channel (wrapping cumsum)
+            for c in range(nb):
+                np.add.accumulate(line[c::nb], dtype=np.uint8, out=line[c::nb])
         elif ftype == 2:  # Up
             line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average: left-sequential, up vectorizable
+            up = prev.astype(np.uint16)
+            for i in range(stride):
+                left = line[i - nb] if i >= nb else 0
+                line[i] = (line[i] + ((int(left) + int(up[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor (full RFC 2083 set)
+            for i in range(stride):
+                a = int(line[i - nb]) if i >= nb else 0
+                bb = int(prev[i])
+                cc = int(prev[i - nb]) if i >= nb else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                line[i] = (line[i] + pred) & 0xFF
         else:
             raise ValueError(f"png filter {ftype} not supported")
         out[r] = line

@@ -259,3 +259,51 @@ class TestRasterCube:
         med = np.median(dx_grad)
         frac_const = np.mean(np.abs(dx_grad - med) < 1e-6)
         assert frac_const > 0.5
+
+
+class TestPngFilters:
+    def _encode_with_filters(self, img: np.ndarray, filters):
+        """Hand-build a PNG whose rows use the given filter types (forward
+        filtering per RFC 2083) — external encoders emit exactly this."""
+        import struct
+        import zlib
+        from gdalcubes_spark.codecs import _png_chunk
+        h, w = img.shape
+        nb = 1
+        raw = b""
+        prev = np.zeros(w, dtype=np.uint8)
+        for r in range(h):
+            line = img[r].copy()
+            ft = filters[r % len(filters)]
+            enc = line.astype(np.int16)
+            if ft == 1:
+                enc[1:] = enc[1:] - line[:-1]
+            elif ft == 2:
+                enc = enc - prev
+            elif ft == 3:
+                for i in range(w - 1, -1, -1):
+                    left = int(line[i - 1]) if i >= 1 else 0
+                    enc[i] = int(line[i]) - ((left + int(prev[i])) >> 1)
+            elif ft == 4:
+                for i in range(w - 1, -1, -1):
+                    a = int(line[i - 1]) if i >= 1 else 0
+                    b = int(prev[i])
+                    c = int(prev[i - 1]) if i >= 1 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = int(line[i]) - pred
+            raw += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b""))
+
+    def test_all_filter_types_decode(self):
+        from gdalcubes_spark import codecs
+        rng = np.random.default_rng(3)
+        img = (rng.random((23, 31)) * 255).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = self._encode_with_filters(img, filters)
+            out = codecs.decode(png, "png")
+            assert np.array_equal(out[0], img), filters
