@@ -564,11 +564,34 @@ def _q_seq_pack_stats(spark, sf_dir):
         (F.col("bins_used") >= F.ceil(F.col("btok") / max_len)).alias("bins_ge_lb")))
 
 
+def _q_image_quality(spark, sf_dir):
+    """rows-only: recompression quality probe (PSNR + uniform-window SSIM
+    vs a real JPEG round trip) — the over-compressed-source curation filter;
+    pytest oracles the SSIM math (identity == 1, monotone under noise)."""
+    from gdalcubes_spark.pipeline.multimodal import image_quality
+    from gdalcubes_spark.synth import ImageLayout, generate_images
+    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=2,
+                      fmts=("png", "raw", "tif"))
+    return image_quality(generate_images(_utc(spark), 48, lay), quality=35)
+
+
 def _q_events_window(spark, sf_dir):
     """Windowed event aggregation (the streaming layer's batch-equivalent
     plan; Structured Streaming variant in gdalcubes_spark.streaming)."""
     ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def _q_events_sliding(spark, sf_dir):
+    """SLIDING-window aggregation (1 h window, 15 min slide — each event in
+    4 overlapping windows), the streaming layer's other windowing semantic;
+    oracled by enumerating slide-aligned starts in DuckDB."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes").alias("w"),
+                       "event_type")
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                     "event_type", "n", "sum_value"))
@@ -713,7 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_tiles": _q_knn_tiles,
         "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "multimodal_features": _q_multimodal_features,
+        "image_quality": _q_image_quality,
         "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
         "phash_neardup": _q_phash_neardup,
         "phash_neardup_md5": _q_phash_neardup_md5,
         "seq_pack_stats": _q_seq_pack_stats,
@@ -957,6 +982,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT event_type, value, epoch(ts) AS es,
+                     (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS b
+              FROM events
+            ),
+            x AS (
+              SELECT make_timestamp((b - k * 900) * 1000000) AS ws, event_type, value
+              FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
+              WHERE (b - k * 900) <= es AND es < (b - k * 900) + 3600
+            )
+            SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+            FROM x GROUP BY 1, 2
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv

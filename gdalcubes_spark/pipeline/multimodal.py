@@ -249,3 +249,74 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in VIDEO_SCHEMA.fields})
 
     return videos.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# ----------------------------------------------------------------- quality
+# Structural similarity (Wang et al., "Image Quality Assessment: From Error
+# Visibility to Structural Similarity", IEEE TIP 2004 — public paper) with a
+# uniform window; plus the recompression-quality probe a curation pipeline
+# runs to flag over-compressed sources.
+
+def ssim_uniform(x: np.ndarray, y: np.ndarray, win: int = 8, L: float = 255.0) -> float:
+    """Mean SSIM over all full windows (uniform filter form of the standard
+    formula; C1=(0.01L)², C2=(0.03L)²). x, y: (h, w) float arrays."""
+    x = x.astype("float64")
+    y = y.astype("float64")
+    h, w = x.shape
+    if h < win or w < win:
+        win = max(1, min(h, w))
+    k = np.ones((win, win)) / (win * win)
+
+    def box(a):  # valid-mode uniform filter via 2-D cumsum
+        c = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        return (c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]) / (win * win)
+
+    mx, my = box(x), box(y)
+    mxx, myy, mxy = box(x * x), box(y * y), box(x * y)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    cxy = mxy - mx * my
+    C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    s = ((2 * mx * my + C1) * (2 * cxy + C2)) / ((mx * mx + my * my + C1) * (vx + vy + C2))
+    return float(s.mean())
+
+
+QUALITY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("psnr", T.DoubleType(), False),
+    T.StructField("ssim", T.DoubleType(), False),
+])
+
+
+def image_quality(images: DataFrame, quality: int = 35) -> DataFrame:
+    """Recompression quality probe: decode each payload, re-encode through
+    the REAL in-repo baseline JPEG at `quality`, and score the round trip
+    with PSNR and mean-band SSIM. Sources that barely degrade under harsh
+    recompression were already low-information/over-compressed — the classic
+    curation filter. Executor-side mapInPandas over Arrow batches; returns
+    (image_id, psnr, ssim) rounded to 6."""
+    from gdalcubes_spark import codecs as _codecs
+    from gdalcubes_spark.jpegcodec import decode_baseline, encode_baseline
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                a = _codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+                nb = a.shape[0]
+                ss, mse = [], []
+                for b in range(nb):
+                    orig = a[b].astype(np.uint8)
+                    re = decode_baseline(encode_baseline(orig[None], quality=quality))[0].astype("float64")
+                    ss.append(ssim_uniform(orig.astype("float64"), re))
+                    mse.append(np.mean((orig.astype("float64") - re) ** 2))
+                m = float(np.mean(mse))
+                psnr = 99.0 if m < 1e-12 else 10.0 * np.log10(255.0 ** 2 / m)
+                rows.append(dict(image_id=row["image_id"], psnr=round(psnr, 6),
+                                 ssim=round(float(np.mean(ss)), 6)))
+            yield pd.DataFrame(rows, columns=[f.name for f in QUALITY_SCHEMA.fields]) if rows else \
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in QUALITY_SCHEMA.fields})
+
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    return widen_input(images.select("image_id", "bytes", "fmt")).mapInPandas(gen, QUALITY_SCHEMA)

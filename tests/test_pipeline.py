@@ -295,3 +295,32 @@ class TestMultimodal:
         r = sample_frames(df, every_n=10).toPandas().sort_values("frame_idx")
         assert list(r["frame_idx"]) == [0, 10, 20]
         assert list(r["frame_mean"]) == [0.0, 10.0, 20.0]
+
+
+class TestImageQuality:
+    def test_ssim_identity_and_monotonicity(self):
+        from gdalcubes_spark.pipeline.multimodal import ssim_uniform
+        rng = np.random.default_rng(9)
+        x = rng.uniform(0, 255, (48, 48))
+        assert abs(ssim_uniform(x, x) - 1.0) < 1e-12
+        mild = ssim_uniform(x, np.clip(x + rng.normal(0, 8, x.shape), 0, 255))
+        harsh = ssim_uniform(x, np.clip(x + rng.normal(0, 60, x.shape), 0, 255))
+        assert 1.0 > mild > harsh > 0.0
+        # constant-vs-constant: structural term saturates to 1
+        assert abs(ssim_uniform(np.full((32, 32), 80.0), np.full((32, 32), 80.0)) - 1.0) < 1e-12
+
+    def test_image_quality_probe(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import image_quality
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(gx=2, gy=2, ntime=1, tile_w=32, tile_h=32, nb=2,
+                          fmts=("raw",))
+        got = image_quality(generate_images(spark, 4, lay), quality=35).toPandas()
+        assert len(got) == 4
+        # synthetic ramps are smooth → harsh recompression still decent
+        assert (got["psnr"] > 20).all() and (got["psnr"] <= 99).all()
+        assert (got["ssim"] > 0.5).all() and (got["ssim"] <= 1.0).all()
+        # higher quality → better scores, same images
+        hi = image_quality(generate_images(spark, 4, lay), quality=90).toPandas()
+        m = got.merge(hi, on="image_id", suffixes=("_lo", "_hi"))
+        assert (m["psnr_hi"] >= m["psnr_lo"] - 1e-9).all()
+        assert (m["ssim_hi"] >= m["ssim_lo"] - 1e-9).all()
