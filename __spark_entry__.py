@@ -339,6 +339,14 @@ def _q_sample_mixture(spark, sf_dir):
     return mixture_by_tokens(d, _MIX_BUDGETS)
 
 
+def _q_curriculum(spark, sf_dir):
+    """Quality-quantile curriculum shards (broadcast thresholds, no global
+    sort) — DuckDB-oracled via quantile_cont parity."""
+    from gdalcubes_spark.pipeline.sampling import curriculum_shards
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_shards(d, n_shards=10)
+
+
 def _q_text_ngrams(spark, sf_dir):
     """Top-50 bigrams by document frequency (vocabulary / contamination
     audit): per-row distinct-gram arrays in codegen, one shuffle, TakeOrdered."""
@@ -597,6 +605,20 @@ def _q_events_sliding(spark, sf_dir):
                     "event_type", "n", "sum_value"))
 
 
+def _q_events_sessions(spark, sf_dir):
+    """SESSION windows (30-min inactivity gap) per user — the third
+    windowing semantic (after tumbling/sliding): gap-merged event ranges,
+    session end = last event + gap. Oracled via lag/cumsum sessionization."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 def _q_scan_monthly_median(spark, sf_dir):
     """Image-table scan flagship (no SQL oracle — binary decode): synthetic
     image inventory → raster_cube(median) → NDVI-ish expr → reduce_time."""
@@ -723,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_det": _q_sample_det,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_sample_mixture,
+        "curriculum_shards": _q_curriculum,
         "text_ngrams": _q_text_ngrams,
         "text_quality_by_source": _q_text_quality_by_source,
         "seq_pack": _q_seq_pack,
@@ -739,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": _q_image_quality,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         "phash_neardup": _q_phash_neardup,
         "phash_neardup_md5": _q_phash_neardup_md5,
         "seq_pack_stats": _q_seq_pack_stats,
@@ -998,6 +1022,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
             FROM x GROUP BY 1, 2
         """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
                        FROM embeddings WHERE vec_id % 100 = 0)
@@ -1049,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_det": _sample_det_oracle(),
         "sample_stratified": _sample_strat_oracle(),
         "sample_mixture": _sample_mixture_oracle(),
+        "curriculum_shards": _curriculum_oracle(),
         "text_ngrams": _text_ngrams_oracle(),
         "text_quality_by_source": _text_quality_by_source_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
@@ -1188,6 +1233,11 @@ def _text_winnow_oracle() -> str:
 def _sample_mixture_oracle() -> str:
     from gdalcubes_spark.pipeline.sampling import mixture_by_tokens_oracle_sql
     return mixture_by_tokens_oracle_sql(_MIX_BUDGETS)
+
+
+def _curriculum_oracle() -> str:
+    from gdalcubes_spark.pipeline.sampling import curriculum_shards_oracle_sql
+    return curriculum_shards_oracle_sql(n_shards=10)
 
 
 def _text_tokens_oracle() -> str:

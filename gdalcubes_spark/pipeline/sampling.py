@@ -179,3 +179,39 @@ def mixture_by_tokens_oracle_sql(budgets: dict, group_col: str = "source",
           FROM t WHERE budget IS NOT NULL
         ) WHERE cum - n_tokens < budget
     """
+
+
+def curriculum_shards(df: DataFrame, n_shards: int = 10, text_col: str = "text",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Curriculum bucketing: label every document with its quality-quantile
+    shard (0 = lowest decile … n-1 = highest) so training can order or
+    re-weight shards. Returns (key, quality, shard).
+
+    Scale shape: NOT a global ntile window (one task for the whole sort) —
+    exact quantile THRESHOLDS come from one aggregate (`percentile`, linear
+    interpolation, parity with DuckDB quantile_cont already proven by the
+    text_quality_by_source oracle) and shard assignment is a broadcast
+    comparison sum in codegen. Ties at a threshold go to the lower shard in
+    both engines (strict >)."""
+    from gdalcubes_spark.pipeline.text import quality_sql
+    q = df.select(F.col(key_col), F.expr(quality_sql(text_col)).alias("quality"))
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    th = q.select(F.expr(
+        f"percentile(quality, array({', '.join(str(f) for f in fracs)}))").alias("t")).first()["t"]
+    shard = sum((F.col("quality") > F.lit(float(t))).cast("int") for t in th)
+    return q.select(key_col, "quality", shard.alias("shard"))
+
+
+def curriculum_shards_oracle_sql(n_shards: int = 10, text_col: str = "text",
+                                 key_col: str = "doc_id", table: str = "documents") -> str:
+    """DuckDB rendering (same thresholds via quantile_cont, same strict >)."""
+    from gdalcubes_spark.pipeline.text import quality_sql
+    fracs = ", ".join(str(i / n_shards) for i in range(1, n_shards))
+    return f"""
+        WITH q AS (SELECT {key_col}, {quality_sql(text_col)} AS quality FROM {table}),
+        t AS (SELECT quantile_cont(quality, [{fracs}]) AS th FROM q)
+        SELECT {key_col}, quality,
+               CAST(list_sum(list_transform(th, x -> CASE WHEN quality > x THEN 1 ELSE 0 END))
+                    AS INT) AS shard
+        FROM q CROSS JOIN t
+    """

@@ -223,3 +223,22 @@ class TestMixtureByTokens:
         b = mixture_by_tokens(docs.repartition(17), self.BUDGETS).toPandas()
         key = lambda p: sorted(map(tuple, p.to_numpy()))
         assert key(a) == key(b)
+
+
+class TestCurriculumShards:
+    def test_shard_semantics(self, spark):
+        from gdalcubes_spark.pipeline.sampling import curriculum_shards
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = curriculum_shards(docs, n_shards=10).toPandas()
+        assert len(got) == 500 and got["shard"].between(0, 9).all()
+        # monotone: every doc in shard s+1 has quality >= every doc in shard s
+        by = got.groupby("shard")["quality"]
+        mins, maxs = by.min(), by.max()
+        for s in range(int(got["shard"].max())):
+            if s in maxs.index and s + 1 in mins.index:
+                assert maxs[s] <= mins[s + 1] + 1e-12
+        # deterministic and partitioning-independent
+        again = curriculum_shards(docs.repartition(13), n_shards=10).toPandas()
+        a = got.sort_values("doc_id").reset_index(drop=True)
+        b = again.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
