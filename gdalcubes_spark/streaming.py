@@ -249,3 +249,17 @@ def streaming_dedup(stream: DataFrame, key_expr: str = "md5(lower(trim(text)))",
     return (keyed.groupBy("_k")
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_events_sessions(stream: DataFrame, watermark: str = "10 minutes",
+                              gap: str = "30 minutes") -> DataFrame:
+    """Per-user SESSION windows over the event stream (gap-merged ranges,
+    session end = last event + gap) — Structured Streaming's stateful
+    session_window operator; the watermark bounds how long an open session
+    waits for late events before it can be finalized."""
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events", "sum_value"))

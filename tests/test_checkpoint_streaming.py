@@ -258,3 +258,39 @@ class TestStreamingTrainingOps:
         got = set(r["doc_id"] for r in spark.sql("SELECT doc_id FROM s_sample").collect())
         want = set(r["doc_id"] for r in deterministic_sample(batch, 0.2).select("doc_id").collect())
         assert got == want and len(got) > 0
+
+
+class TestStreamingSessions:
+    def test_streaming_sessions_match_batch(self, spark, tmp_path):
+        """session_window over a stream (two arrival files) == the batch
+        sessionization — the stateful merge across micro-batches works."""
+        import os as _os
+        import shutil as _shutil
+        from gdalcubes_spark.streaming import run_to_memory, streaming_events_sessions
+        src = str(tmp_path / "events_sessions")
+        _os.makedirs(src, exist_ok=True)
+        full = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # split arrivals by user parity → sessions of a user never straddle
+        # files, but the STATE store still has to merge windows per trigger
+        full.filter("user_id % 2 = 0").write.parquet(src + "/a")
+        full.filter("user_id % 2 = 1").write.parquet(src + "/b")
+        for i, part in enumerate(("a", "b")):
+            for f in _os.listdir(src + "/" + part):
+                if f.endswith(".parquet"):
+                    _shutil.copy(f"{src}/{part}/{f}", f"{src}/arrive_{i}_{f}")
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/arrive_*"))
+        agg = streaming_events_sessions(stream, watermark="0 seconds", gap="30 minutes")
+        run_to_memory(agg, "evsess")
+        got = spark.sql("SELECT * FROM evsess").toPandas()
+        want = (full.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+                             "user_id")
+                .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+                .select("user_id", F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"), "n_events", "sum_value")).toPandas()
+        key = ["user_id", "session_start"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+        assert np.allclose(g["sum_value"].to_numpy(), w["sum_value"].to_numpy())
