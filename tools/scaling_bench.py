@@ -19,7 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_at(cores: int, sf_dir: str, queries, mult: int = 1):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cores),
-               SPARK_GRAFT_BENCH_MULT=str(mult), PYTHONPATH=REPO)
+               SPARK_GRAFT_BENCH_MULT=str(mult), PYTHONPATH=REPO,
+               # repeats happen at THIS protocol level (min-of-k across
+               # JVMs); keep bench.py single-shot inside each sample
+               SPARK_GRAFT_BENCH_REPEATS="1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"), *queries],
                          env=env, capture_output=True, text=True, timeout=3000)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
