@@ -605,6 +605,27 @@ def _q_events_sliding(spark, sf_dir):
                     "event_type", "n", "sum_value"))
 
 
+def _q_events_asof(spark, sf_dir):
+    """AS-OF join (an operator Spark lacks as a primitive): every 'click'
+    event attached to the user's latest prior-or-equal per-minute 'view'
+    aggregate. Spark side = union-window form (ONE shuffle on the key);
+    oracle = DuckDB's NATIVE ASOF JOIN — two independent constructions."""
+    from gdalcubes_spark.pipeline.joins import asof_join
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("ts"))
+             .agg(F.count("*").alias("n_views"), F.round(F.sum("value"), 6).alias("view_value")))
+    out = asof_join(clicks, views, on="user_id", ts="ts")
+    # clicks with no prior view keep 0s (NULL-free output: NaN==NaN is false
+    # in float comparators, so value-hash gates want concrete sentinels)
+    return out.select("event_id", "user_id",
+                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+                      F.coalesce(F.col("n_views_r"), F.lit(0)).alias("n_views"),
+                      F.coalesce(F.col("view_value_r"), F.lit(0.0)).alias("view_value"))
+
+
 def _q_events_sessions(spark, sf_dir):
     """SESSION windows (30-min inactivity gap) per user — the third
     windowing semantic (after tumbling/sliding): gap-merged event ranges,
@@ -763,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
         "phash_neardup": _q_phash_neardup,
         "phash_neardup_md5": _q_phash_neardup_md5,
         "seq_pack_stats": _q_seq_pack_stats,
@@ -1021,6 +1043,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
             FROM x GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, DATE_TRUNC('minute', ts) AS ts,
+                     COUNT(*) AS n_views, ROUND(SUM(value), 6) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            )
+            SELECT c.event_id, c.user_id,
+                   STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   COALESCE(v.n_views, 0) AS n_views,
+                   COALESCE(v.view_value, 0.0) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "events_sessions": """
             WITH o AS (

@@ -242,3 +242,67 @@ class TestCurriculumShards:
         a = got.sort_values("doc_id").reset_index(drop=True)
         b = again.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 15, "d"), (3, 5, "e")],
+            "k int, ts int, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 25, 250.0), (2, 15, 150.0), (2, 16, 160.0)],
+            "k int, ts int, v double")
+        return left, right
+
+    def test_latest_prior_or_equal(self, spark):
+        from gdalcubes_spark.pipeline.joins import asof_join
+        left, right = self._frames(spark)
+        got = {r["tag"]: r["v_r"] for r in asof_join(left, right, on="k", ts="ts").collect()}
+        assert got == {"a": 100.0,   # equal ts counts
+                       "b": 100.0,   # 25 is later than 20 → falls back to 10
+                       "c": 250.0,
+                       "d": 150.0,   # equal ts
+                       "e": None}    # no prior right row
+
+    def test_strict_excludes_equal_ts(self, spark):
+        from gdalcubes_spark.pipeline.joins import asof_join
+        left, right = self._frames(spark)
+        got = {r["tag"]: r["v_r"] for r in
+               asof_join(left, right, on="k", ts="ts", strict=True).collect()}
+        assert got["a"] is None      # equal ts no longer visible
+        assert got["d"] is None
+        assert got["b"] == 100.0 and got["c"] == 250.0
+
+    def test_single_exchange_plan(self, spark):
+        from gdalcubes_spark.pipeline.joins import asof_join
+        left, right = self._frames(spark)
+        plan = asof_join(left, right, on="k", ts="ts")._jdf.queryExecution() \
+            .executedPlan().toString()
+        # union-window form: ONE shuffle on the key, no join operator at all
+        assert plan.count("Exchange") == 1
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+    def test_matches_duckdb_asof_on_events(self, spark):
+        import duckdb
+        from gdalcubes_spark.pipeline.joins import asof_join
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        import pyspark.sql.functions as F
+        clicks = (ev.filter("event_type = 'click'")
+                  .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")))
+        views = (ev.filter("event_type = 'view'")
+                 .groupBy("user_id", F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("ts"))
+                 .agg(F.count("*").alias("n_views")))
+        got = (asof_join(clicks, views, on="user_id", ts="ts")
+               .select("event_id", F.coalesce("n_views_r", F.lit(0)).alias("n"))
+               .toPandas().sort_values("event_id").reset_index(drop=True))
+        want = duckdb.sql(f"""
+            WITH e AS (SELECT * FROM '{SF}/events.parquet'),
+            c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+            v AS (SELECT user_id, DATE_TRUNC('minute', ts) ts, COUNT(*) n
+                  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT c.event_id, COALESCE(v.n, 0) AS n
+            FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY event_id
+        """).df()
+        assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
