@@ -217,38 +217,6 @@ def _extend(v: int, s: int) -> int:
 
 # ----------------------------------------------------------------- encode
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
-    dc = int(zz[0])
-    diff = dc - pred
-    mag = abs(diff)
-    s = int(mag).bit_length()
-    code, ln = dc_tab[s]
-    bw.put(code, ln)
-    if s:
-        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    # visit only nonzero AC coefficients (numpy nonzero): quantized blocks
-    # are sparse, so this is ~#nonzeros iterations instead of always 63
-    nz = np.nonzero(zz[1:])[0]
-    prev = 0
-    for idx in nz:
-        i = int(idx) + 1
-        run = i - prev - 1
-        while run > 15:
-            code, ln = ac_tab[0xF0]  # ZRL
-            bw.put(code, ln)
-            run -= 16
-        v = int(zz[i])
-        s = abs(v).bit_length()
-        code, ln = ac_tab[(run << 4) | s]
-        bw.put(code, ln)
-        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-        prev = i
-    if prev < 63:
-        code, ln = ac_tab[0x00]  # EOB
-        bw.put(code, ln)
-    return dc
-
-
 def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
     r, g, b = a[0], a[1], a[2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -314,30 +282,91 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
         dc_tabs.append(_huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_tabs.append(_huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
 
+    # HOT LOOP: bit writer inlined with local state (same rationale as the
+    # decoder — per-symbol method calls dominated the wall); zz rows become
+    # python lists once per block, EOB/ZRL codes are hoisted.
     bw = _BitWriter()
+    emit = bw.out
+    buf = 0
+    nbits = 0
     preds = [0] * nb
     max_h = max(s[0] for s in sampling)
     max_v = max(s[1] for s in sampling)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
     mcu_n = 0
+    nz_lists = [[(np.nonzero(zzc[ry, rx][1:])[0] + 1).tolist()
+                 for ry in range(zzc.shape[0]) for rx in range(zzc.shape[1])]
+                for zzc in comp_blocks]
+    zz_lists = [[zzc[ry, rx].tolist() for ry in range(zzc.shape[0])
+                 for rx in range(zzc.shape[1])] for zzc in comp_blocks]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                bw.flush()  # RST markers are byte-aligned, never stuffed
-                bw.out += bytes([0xFF, 0xD0 + ((mcu_n // restart_interval - 1) % 8)])
+                if nbits:  # flush: pad to byte with 1-bits (spec), stuffed
+                    pad = 8 - nbits
+                    buf = (buf << pad) | ((1 << pad) - 1)
+                    b8 = buf & 0xFF
+                    emit.append(b8)
+                    if b8 == 0xFF:
+                        emit.append(0x00)
+                    buf = nbits = 0
+                emit += bytes([0xFF, 0xD0 + ((mcu_n // restart_interval - 1) % 8)])
                 preds = [0] * nb
             mcu_n += 1
             for c in range(nb):
                 ch, cv = sampling[c]
                 zzc = comp_blocks[c]
+                nbx_c = zzc.shape[1]
+                t = 0 if c == 0 else 1
+                dc_tab = dc_tabs[t]
+                ac_tab = ac_tabs[t]
                 for by in range(cv):
                     for bx in range(ch):
                         ry = min(my * cv + by, zzc.shape[0] - 1)
-                        rx = min(mx * ch + bx, zzc.shape[1] - 1)
-                        t = 0 if c == 0 else 1
-                        preds[c] = _encode_block(bw, zzc[ry, rx], preds[c],
-                                                 dc_tabs[t], ac_tabs[t])
+                        rx = min(mx * ch + bx, nbx_c - 1)
+                        bi = ry * nbx_c + rx
+                        zz = zz_lists[c][bi]
+                        # --- DC
+                        diff = zz[0] - preds[c]
+                        preds[c] = zz[0]
+                        s = abs(diff).bit_length()
+                        code, ln = dc_tab[s]
+                        buf = (buf << ln) | code
+                        nbits += ln
+                        if s:
+                            buf = (buf << s) | ((diff if diff >= 0
+                                                 else diff + (1 << s) - 1) & ((1 << s) - 1))
+                            nbits += s
+                        # --- AC
+                        prev = 0
+                        for i in nz_lists[c][bi]:
+                            run = i - prev - 1
+                            while run > 15:
+                                code, ln = ac_tab[0xF0]  # ZRL
+                                buf = (buf << ln) | code
+                                nbits += ln
+                                run -= 16
+                            v = zz[i]
+                            s = abs(v).bit_length()
+                            code, ln = ac_tab[(run << 4) | s]
+                            buf = (buf << (ln + s)) | (code << s) \
+                                | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+                            nbits += ln + s
+                            prev = i
+                        if prev < 63:
+                            code, ln = ac_tab[0x00]  # EOB
+                            buf = (buf << ln) | code
+                            nbits += ln
+                        # drain whole bytes with stuffing
+                        while nbits >= 8:
+                            b8 = (buf >> (nbits - 8)) & 0xFF
+                            emit.append(b8)
+                            if b8 == 0xFF:
+                                emit.append(0x00)
+                            nbits -= 8
+                        buf &= (1 << nbits) - 1
+    bw.buf, bw.nbits = buf, nbits
     bw.flush()
 
     # ----- markers
