@@ -86,6 +86,29 @@ def utm_to_geodetic(easting, northing, zone: int, south: bool = False):
     return lon, lat
 
 
+_WEBMERC_R = 6378137.0  # WGS84 semi-major axis (spherical Web Mercator)
+
+
+def geodetic_to_webmercator(lon, lat):
+    """EPSG:3857 forward (the published spherical formulas — the web-tile
+    CRS): x = R·λ, y = R·ln(tan(π/4 + φ/2)), |lat| clamped to the standard
+    ±85.051129° validity bound."""
+    lon = np.asarray(lon, dtype="float64")
+    lat = np.clip(np.asarray(lat, dtype="float64"), -85.051128779807, 85.051128779807)
+    x = _WEBMERC_R * np.radians(lon)
+    y = _WEBMERC_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_geodetic(x, y):
+    """EPSG:3857 inverse: λ = x/R, φ = 2·atan(exp(y/R)) − π/2."""
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    lon = np.degrees(x / _WEBMERC_R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _WEBMERC_R)) - np.pi / 2.0)
+    return lon, lat
+
+
 def parse_epsg(srs) -> int:
     if isinstance(srs, int):
         return srs
@@ -120,6 +143,13 @@ class Transformer:
         if self.dst == 4326 and self._utm(self.src):
             zone, south = self._utm(self.src)
             return utm_to_geodetic(x, y, zone, south)
+        if self.src == 4326 and self.dst == 3857:
+            return geodetic_to_webmercator(x, y)
+        if self.src == 3857 and self.dst == 4326:
+            return webmercator_to_geodetic(x, y)
+        if self.src == 3857 or self.dst == 3857:  # 3857 ↔ UTM via 4326
+            lon, lat = Transformer(self.src, 4326).transform(x, y)
+            return Transformer(4326, self.dst).transform(lon, lat)
         if self._utm(self.src) and self._utm(self.dst):
             lon, lat = self.transform_via(x, y)
             return lon, lat

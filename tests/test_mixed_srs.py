@@ -114,3 +114,51 @@ class TestBandPushdown:
         a = sel.collect_array()
         want = full.collect_array()[1:2]
         assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(want, nan=-1))
+
+
+class TestWebMercator:
+    def test_known_values_and_roundtrip(self):
+        x, y = srs.geodetic_to_webmercator(180.0, 0.0)
+        assert abs(float(x) - 20037508.342789244) < 1e-6  # published constant
+        assert abs(float(y)) < 1e-9
+        lon = np.linspace(-179, 179, 40)
+        lat = np.linspace(-84, 84, 40)
+        lo, la = srs.webmercator_to_geodetic(*srs.geodetic_to_webmercator(lon, lat))
+        assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat, atol=1e-9)
+
+    def test_latitude_clamped_to_validity_bound(self):
+        _, y1 = srs.geodetic_to_webmercator(0.0, 90.0)
+        _, y2 = srs.geodetic_to_webmercator(0.0, 85.051128779807)
+        assert np.isfinite(y1) and abs(float(y1) - float(y2)) < 1e-6
+
+    def test_3857_view_scan_matches_numpy_oracle(self, spark):
+        """Web-Mercator VIEW over 4326 scenes: every cube cell must equal an
+        independent numpy oracle that maps the same merc cell centers back
+        to lon/lat and nearest-samples the analytic image pattern — the
+        exact-equality test of the 3857 reprojection path end to end."""
+        lay = ImageLayout(left0=0.0, top0=1.0, tile_dx=1.0, tile_dy=1.0, gx=2, gy=1,
+                          ntime=1, tile_w=32, tile_h=32, nb=1, fmts=("raw",))
+        imgs = generate_images(spark, 2, lay)
+        l, b = srs.geodetic_to_webmercator(0.0, 0.0)
+        r, t = srs.geodetic_to_webmercator(2.0, 1.0)
+        ny, nx = 8, 20
+        v3857 = CubeView.create(srs="EPSG:3857", left=float(l), right=float(r),
+                                bottom=float(b), top=float(t),
+                                t0="2021-01-01", t1="2021-01-01", dt="P1D",
+                                nx=nx, ny=ny, aggregation="first", resampling="near")
+        g = ChunkGrid(nt=1, ny=ny, nx=nx, ct=1, cy=4, cx=10)
+        a3 = raster_cube(imgs, v3857, band_names(lay), chunking=g).collect_array()
+        assert np.isfinite(a3).all()
+        xs = float(l) + (np.arange(nx) + 0.5) * v3857.dx
+        ys = float(t) - (np.arange(ny) + 0.5) * v3857.dy
+        X, Y = np.meshgrid(xs, ys)
+        lon, lat = srs.webmercator_to_geodetic(X, Y)
+        want = np.full((ny, nx), np.nan)
+        for i in range(2):
+            p = lay.params(i)
+            px_all = ((lon - p["left"]) / ((p["right"] - p["left"]) / 32)).astype(np.int64)
+            py_all = ((p["top"] - lat) / ((p["top"] - p["bottom"]) / 32)).astype(np.int64)
+            m = (px_all >= 0) & (px_all < 32) & (py_all >= 0) & (py_all < 32)
+            vals = lay.pixels(i)[0].astype("float64")
+            want[m] = vals[np.clip(py_all, 0, 31), np.clip(px_all, 0, 31)][m]
+        assert np.array_equal(a3[0, 0], want)
