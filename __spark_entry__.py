@@ -707,6 +707,29 @@ def _q_scan_geotiff(spark, sf_dir):
     return c.reduce_time("mean(B01)", "max(B02)").cells().select("iy", "ix", "band", "value")
 
 
+def _q_scan_webmercator(spark, sf_dir):
+    """rows-only: cube VIEW in EPSG:3857 (the web-tile CRS) over 4326
+    scenes — the reprojection scan path; exact numpy oracle in
+    tests/test_mixed_srs.py."""
+    from gdalcubes_spark import srs as _srs
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=2, tile_w=32, tile_h=32, nb=1, fmts=("png",))
+    imgs = generate_images(_utc(spark), 8, lay)
+    l, b = _srs.geodetic_to_webmercator(0.0, 0.0)
+    r, t = _srs.geodetic_to_webmercator(4.0, 4.0)
+    v = CubeView.create(srs="EPSG:3857", left=float(l), right=float(r),
+                        bottom=float(b), top=float(t),
+                        t0="2021-01-01", t1="2021-01-02", dt="P1D",
+                        nx=32, ny=32, aggregation="mean", resampling="bilinear")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=32, nx=32, ct=1, cy=16, cx=16))
+    return c.reduce_time("mean(B01)").cells().select("iy", "ix", "value")
+
+
 def _q_scan_resample_average(spark, sf_dir):
     """rows-only: footprint resampling (gdalwarp 'average') in the
     distributed scan — 32-px tiles down-sampled 4× into the view, so every
@@ -752,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_monthly_median": _q_scan_monthly_median,
         "scan_from_table": _q_scan_from_table,
         "scan_geotiff": _q_scan_geotiff,
+        "scan_webmercator": _q_scan_webmercator,
         "scan_resample_average": _q_scan_resample_average,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
