@@ -535,9 +535,15 @@ class Cube:
                 else:
                     a = np.where(np.isnan(plane), nd, plane).astype(dtype)
                     slice_nd = nd
+                # floats get the TechNote-3 byte-split predictor under
+                # deflate (what GDAL writes for float COGs — ~30% smaller
+                # on smooth fields); integers keep the auto predictor 2
+                pred = 3 if (compress == "deflate"
+                             and np.issubdtype(a.dtype, np.floating)) else None
                 tif = _tc.encode_geotiff(
                     a, tile=tile, compress=compress, overviews=overviews,
-                    nodata=slice_nd, left=left, top=top, dx=dx, dy=dy, epsg=epsg)
+                    predictor=pred, nodata=slice_nd,
+                    left=left, top=top, dx=dx, dy=dy, epsg=epsg)
                 it_global = t0 + lt
                 fn = f"{path}/slice_{it_global:05d}_{labels[it_global]}.tif"
                 with open(fn, "wb") as fh:

@@ -10,7 +10,9 @@ specification and the OGC GeoTIFF 1.1 standard:
 - sample types uint8/16/32, int16/32, float32/64 (BitsPerSample +
   SampleFormat per band),
 - Compression 8 (zlib/Deflate — the "Adobe deflate" every GDAL/QGIS reads)
-  or 1 (none); optional horizontal-differencing Predictor 2 for integers,
+  or 1 (none); horizontal-differencing Predictor 2 for integers and the
+  TechNote-3 floating-point Predictor 3 (byte-plane split + diff) for
+  float samples,
 - georeferencing via ModelPixelScaleTag (33550), ModelTiepointTag (33922)
   and GeoKeyDirectoryTag (34735) carrying the EPSG code
   (GeographicTypeGeoKey for 4xxx codes, ProjectedCSTypeGeoKey otherwise),
@@ -26,7 +28,7 @@ offsets) when the layout would overflow, or on request (`bigtiff=True`) —
 so arbitrarily large slices encode, and the reader handles both versions.
 
 The reader handles both byte orders, tiled and stripped layouts,
-Deflate(8/32946)/none, Predictor 1/2, and multiple IFDs, so the writer's
+Deflate(8/32946)/none, Predictor 1/2/3, and multiple IFDs, so the writer's
 output round-trips and external baseline GeoTIFFs (e.g. gdal_translate
 output) decode too.
 """
@@ -206,6 +208,8 @@ def encode_geotiff(
         predictor = 2 if (comp == 8 and sfmt != 3) else 1
     if predictor == 2 and sfmt == 3:
         raise ValueError("predictor 2 is integer-only")
+    if predictor == 3 and sfmt != 3:
+        raise ValueError("predictor 3 (floating-point) is float-only")
 
     # pyramid: full res first, then factor-2 overviews down to a single tile
     levels = [a]
@@ -220,7 +224,22 @@ def encode_geotiff(
             if predictor == 2:
                 # horizontal differencing per channel; wraps in-dtype per spec
                 t = np.concatenate([t[:, :1, :], t[:, 1:, :] - t[:, :-1, :]], axis=1)
-            raw = t.tobytes()
+                raw = t.tobytes()
+            elif predictor == 3:
+                # TIFF TechNote 3 floating-point predictor: per row, floats
+                # become big-endian, bytes split into planes (all MSBs first),
+                # then the reorganized row is byte-differenced
+                th_, tw_, nbc = t.shape
+                K = t.dtype.itemsize
+                be = np.ascontiguousarray(t.reshape(th_, tw_ * nbc)
+                                          .astype(t.dtype.newbyteorder(">")))
+                rows = be.view(np.uint8).reshape(th_, tw_ * nbc, K)
+                planes = rows.transpose(0, 2, 1).reshape(th_, tw_ * nbc * K)
+                diff = planes.copy()
+                diff[:, 1:] -= planes[:, :-1]
+                raw = diff.tobytes()
+            else:
+                raw = t.tobytes()
             out.append(zlib.compress(raw, zlevel) if comp == 8 else raw)
         return out
 
@@ -243,8 +262,8 @@ def encode_geotiff(
         b.add(284, _TY_SHORT, 1)
         if nb > 1 and not (nb == 3 and a.dtype == np.uint8):
             b.add(338, _TY_SHORT, [0] * (nb - 1))  # extra samples: unspecified
-        if predictor == 2:
-            b.add(317, _TY_SHORT, 2)
+        if predictor in (2, 3):
+            b.add(317, _TY_SHORT, predictor)
         b.add(322, _TY_SHORT, tile)
         b.add(323, _TY_SHORT, tile)
         b.add(324, _TY_LONG, [0] * ntiles)  # patched below
@@ -375,6 +394,18 @@ def _undo_predictor2(t: np.ndarray) -> np.ndarray:
     return np.add.accumulate(t, axis=1, dtype=t.dtype)
 
 
+def _undo_predictor3(raw: np.ndarray, rows: int, cols: int, nb: int, dtype) -> np.ndarray:
+    """Inverse of the TechNote-3 float predictor: per-row byte cumsum, then
+    re-interleave the byte planes and byteswap big-endian → native."""
+    K = np.dtype(dtype).itemsize
+    b = raw.view(np.uint8).reshape(rows, cols * nb * K)
+    acc = np.add.accumulate(b, axis=1, dtype=np.uint8)
+    planes = acc.reshape(rows, K, cols * nb).transpose(0, 2, 1)
+    be = np.ascontiguousarray(planes).reshape(rows, cols * nb, K)
+    flat = be.reshape(rows, -1).view(np.dtype(dtype).newbyteorder(">"))
+    return flat.astype(np.dtype(dtype).newbyteorder("=")).reshape(rows, cols, nb)
+
+
 def _decode_level(b: bytes, tags: dict, e: str) -> np.ndarray:
     w, h = int(_scalar(tags, 256)), int(_scalar(tags, 257))
     nb = int(_scalar(tags, 277, 1))
@@ -390,6 +421,12 @@ def _decode_level(b: bytes, tags: dict, e: str) -> np.ndarray:
     if comp not in (1, 8, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
 
+    def blob_raw(off: int, cnt: int) -> np.ndarray:
+        raw = b[off: off + cnt]
+        if comp in (8, 32946):
+            raw = zlib.decompress(raw)
+        return np.frombuffer(raw, dtype=np.uint8)
+
     def blob(off: int, cnt: int) -> np.ndarray:
         raw = b[off: off + cnt]
         if comp in (8, 32946):
@@ -402,9 +439,12 @@ def _decode_level(b: bytes, tags: dict, e: str) -> np.ndarray:
         td, ta = _tile_grid(h, w, th)[0], _tile_grid(h, w, tw)[1]
         offs, cnts = tags[324], tags[325]
         for i in range(td * ta):
-            t = blob(int(offs[i]), int(cnts[i])).reshape(th, tw, nb)
-            if pred == 2:
-                t = _undo_predictor2(t)
+            if pred == 3:
+                t = _undo_predictor3(blob_raw(int(offs[i]), int(cnts[i])), th, tw, nb, dtype)
+            else:
+                t = blob(int(offs[i]), int(cnts[i])).reshape(th, tw, nb)
+                if pred == 2:
+                    t = _undo_predictor2(t)
             ty, tx = divmod(i, ta)
             y0, x0 = ty * th, tx * tw
             out[y0: y0 + th, x0: x0 + tw] = t[: min(th, h - y0), : min(tw, w - x0)]
@@ -414,9 +454,13 @@ def _decode_level(b: bytes, tags: dict, e: str) -> np.ndarray:
         for i in range(len(offs)):
             y0 = i * rps
             rows = min(rps, h - y0)
-            s = blob(int(offs[i]), int(cnts[i]))[: rows * w * nb].reshape(rows, w, nb)
-            if pred == 2:
-                s = _undo_predictor2(s)
+            if pred == 3:
+                s = _undo_predictor3(blob_raw(int(offs[i]), int(cnts[i]))[: rows * w * nb * dtype.itemsize],
+                                     rows, w, nb, dtype)
+            else:
+                s = blob(int(offs[i]), int(cnts[i]))[: rows * w * nb].reshape(rows, w, nb)
+                if pred == 2:
+                    s = _undo_predictor2(s)
             out[y0: y0 + rows] = s
     return np.moveaxis(out, -1, 0)
 

@@ -380,3 +380,47 @@ class TestBigTiff:
         a = _img(nb=1, h=32, w=32)
         out = tc.encode_geotiff(a, tile=16, bigtiff=None)  # auto: small → classic
         assert out[:4] == b"II*\x00"
+
+
+class TestFloatPredictor:
+    def test_roundtrip_and_compression_win(self):
+        iy, ix = np.mgrid[0:100, 0:140]
+        a = ((np.sin(ix / 20) + np.cos(iy / 15)) * 100).astype(np.float32)[None]
+        p1 = tc.encode_geotiff(a, tile=32, predictor=1)
+        p3 = tc.encode_geotiff(a, tile=32, predictor=3)
+        assert np.array_equal(tc.decode_geotiff(p3)[0], a)
+        assert len(p3) < 0.8 * len(p1)  # byte-split diff wins on smooth fields
+
+    def test_f64_multiband_bigtiff(self):
+        a = _img(nb=3, h=45, w=61, dtype="float64")
+        out, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16, predictor=3, bigtiff=True))
+        assert np.array_equal(out, a)
+
+    def test_nan_survives_predictor3(self):
+        a = np.full((1, 33, 33), np.nan, dtype=np.float32)
+        a[0, :16, :16] = 7.25
+        out, _ = tc.decode_geotiff(tc.encode_geotiff(a, tile=16, predictor=3,
+                                                     nodata=float("nan")))
+        assert np.array_equal(np.isnan(out), np.isnan(a))
+        assert np.all(out[0, :16, :16] == 7.25)
+
+    def test_int_rejected(self):
+        with pytest.raises(ValueError, match="float-only"):
+            tc.encode_geotiff(_img(dtype="int32"), predictor=3)
+
+    def test_write_tif_float_uses_predictor3(self, spark, tmp_path):
+        v = CubeView.create(srs="EPSG:4326", left=0, right=8, bottom=0, top=8,
+                            t0="2021-01-01", t1="2021-01-01", dt="P1D", dx=0.5, dy=0.5)
+        iy, ix = np.mgrid[0:16, 0:16]
+        arr = ((ix + iy) / 4.0)[None, None].astype(np.float64)
+        c = cube_from_array(spark, arr, v,
+                            chunking=ChunkGrid(nt=1, ny=16, nx=16, ct=1, cy=16, cx=16))
+        res = c.write_tif(str(tmp_path / "f"), dtype="float32").collect()
+        with open(res[0]["file"], "rb") as fh:
+            b = fh.read()
+        e = "<"
+        (at,) = struct.unpack_from(f"{e}I", b, 4)
+        tags, _ = tc._read_ifd(b, at, e)
+        assert tags[317] == [3]  # floating-point predictor tag present
+        out, _ = tc.decode_geotiff(b)
+        assert np.allclose(out[0], arr[0, 0].astype(np.float32))
