@@ -74,7 +74,12 @@ def main():
         else:
             for c in g.columns:
                 if pd.api.types.is_float_dtype(g[c]):
-                    if not ((g[c] - w[c]).abs() < 1e-9).all():
+                    # NaN==NaN counts as equal here (SQL NULLs surface as
+                    # NaN in float columns); note the DRIVER's value-hash
+                    # may be stricter — queries should still prefer
+                    # NULL-free outputs (coalesce sentinels)
+                    both_nan = g[c].isna() & w[c].isna()
+                    if not (((g[c] - w[c]).abs() < 1e-9) | both_nan).all():
                         ok = False
                         bad = (g[c] - w[c]).abs().idxmax()
                         msgs.append(f"col {c}: max diff at row {bad}: {g[c][bad]} vs {w[c][bad]}")
