@@ -169,7 +169,8 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, iters: int = 5, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_self: bool = True, sample_rows: int = 4096) -> DataFrame:
+             exclude_self: bool = True, sample_rows: int = 4096,
+             train_full_corpus: bool = False) -> DataFrame:
     """IVF-flat ANN: coarse centroids from a seeded Lloyd's run on a sample
     (driver-side, tiny), assignments as a column, probe the n_probe nearest
     lists per query. The classic billion-scale layout (partition-by-centroid
@@ -198,6 +199,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
             if len(m):
                 C[j] = m.mean(axis=0)
         C = _norm_rows(C)
+    if train_full_corpus:
+        # refine over ALL vectors with the distributed Lloyd's pass — the
+        # per-iteration shuffle is k·dim partials per partition, corpus-size
+        # independent (pipeline/clustering.py)
+        from gdalcubes_spark.pipeline.clustering import distributed_kmeans
+        C = distributed_kmeans(embeddings, k=n_centroids, iters=iters, seed=seed,
+                               id_col=id_col, vec_col=vec_col, seed_rows=sample_rows)
 
     assign_schema = T.StructType([T.StructField("vid", T.LongType(), False),
                                   T.StructField("centroid", T.IntegerType(), False)])

@@ -324,3 +324,51 @@ class TestImageQuality:
         m = got.merge(hi, on="image_id", suffixes=("_lo", "_hi"))
         assert (m["psnr_hi"] >= m["psnr_lo"] - 1e-9).all()
         assert (m["ssim_hi"] >= m["ssim_lo"] - 1e-9).all()
+
+
+class TestDistributedKmeans:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+    def test_matches_local_lloyds_exactly(self, spark, emb):
+        """The distributed pass must reproduce a local numpy Lloyd's run
+        from the SAME seeded init over the same (full) data."""
+        from gdalcubes_spark.pipeline.clustering import distributed_kmeans
+        from gdalcubes_spark.pipeline.similarity import _norm_rows
+        k, iters, seed = 8, 4, 42
+        C = distributed_kmeans(emb, k=k, iters=iters, seed=seed)
+        # local reference: same md5-bucket seed sample, same init draw
+        from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+        import pyspark.sql.functions as F
+        n_total = emb.count()
+        frac = min(1.0, 4.0 * 4096 / n_total)
+        sample = (emb.select("vec_id", "embedding")
+                  .withColumn("_hb", _hash_bucket("vec_id"))
+                  .filter(F.col("_hb") < int(frac * _BUCKETS))
+                  .orderBy("_hb", "vec_id").limit(4096).select("embedding").toPandas())
+        X0 = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype("float64"))
+        rng = np.random.default_rng(seed)
+        ref = X0[rng.choice(len(X0), size=k, replace=False)].copy()
+        full = _norm_rows(np.stack(emb.toPandas()["embedding"].to_numpy()).astype("float64"))
+        for _ in range(iters):
+            a = np.argmax(full @ ref.T, axis=1)
+            for j in range(k):
+                m = full[a == j]
+                if len(m):
+                    ref[j] = m.mean(axis=0)
+            ref = _norm_rows(ref)
+        assert np.allclose(C, ref, atol=1e-9)
+
+    def test_assignment_and_balance(self, spark, emb):
+        from gdalcubes_spark.pipeline.clustering import distributed_kmeans, kmeans_assign
+        C = distributed_kmeans(emb, k=8, iters=3)
+        asn = kmeans_assign(emb, C).toPandas()
+        assert len(asn) == emb.count()
+        assert asn["centroid"].between(0, 7).all()
+        assert asn["centroid"].nunique() >= 4  # no collapse on random data
+        # deterministic across partitionings
+        again = kmeans_assign(emb.repartition(11), C).toPandas()
+        a = asn.sort_values("vid").reset_index(drop=True)
+        b = again.sort_values("vid").reset_index(drop=True)
+        assert a.equals(b)
