@@ -160,6 +160,14 @@ def _q_select_time(spark, sf_dir):
     return c.select_time(["2021-01-02", "2021-01-05"]).cells().select("it", "iy", "ix", "band", "value")
 
 
+def _q_cube_histogram(spark, sf_dir):
+    """Per-band value histogram over all cube cells (data-QA distribution
+    summary; partial-aggregated to band×bins before the single shuffle)."""
+    from gdalcubes_spark.operators.reduce import value_histogram
+    c = _lineitem_cube(spark, sf_dir)
+    return value_histogram(c, bins=16, vmin=0.0, vmax=500.0)
+
+
 def _q_zonal_stats(spark, sf_dir):
     from gdalcubes_spark.operators.extract_geom import zonal_stats
     c = _lineitem_cube(spark, sf_dir)
@@ -761,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_slice_time": _q_slice_time,
         "cube_slice_space": _q_slice_space,
         "cube_select_time": _q_select_time,
+        "cube_histogram": _q_cube_histogram,
         "cube_zonal_stats": _q_zonal_stats,
         "cube_filter_geom": _q_filter_geom,
         "cube_aggregate_time": _q_aggregate_time,
@@ -1124,6 +1133,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "cube_histogram": _CELLS_CTE + """
+            SELECT band, bin,
+                   ROUND(0.0 + bin * 31.25, 9) AS lo,
+                   ROUND(0.0 + (bin + 1) * 31.25, 9) AS hi,
+                   COUNT(*) AS n
+            FROM (
+              SELECT band,
+                     LEAST(15, GREATEST(0, CAST(FLOOR((value - 0.0) / 31.25) AS BIGINT))) AS bin
+              FROM cells WHERE value IS NOT NULL
+            ) GROUP BY band, bin
         """,
         "semantic_dedup": """
             WITH RECURSIVE emb AS (

@@ -294,3 +294,33 @@ def reduce_space(cube: Cube, reducers: Sequence, names: Optional[Sequence[str]] 
 
     out_df = cube.df.groupBy("ct").applyInPandas(gather, CHUNK_SCHEMA)
     return Cube(out_df, out_view, out_bands, gout)
+
+
+def value_histogram(cube: Cube, bins: int = 32, vmin: float = None,
+                    vmax: float = None) -> "DataFrame":
+    """Per-band value histogram over every cube cell — the data-QA
+    distribution summary the reference lacks (its reducers are scalar).
+    Returns (band, bin, lo, hi, n): `bins` equal-width buckets over
+    [vmin, vmax]; values at vmax land in the last bucket; outside-range
+    values are clipped into the edge buckets; NaN cells are excluded.
+
+    Scale shape: the explode to long cells partial-aggregates to band×bins
+    rows BEFORE the single shuffle (codegen HashAggregate combiner), so the
+    exchange carries a histogram per task, never cells. vmin/vmax default
+    to one cheap min/max aggregate."""
+    from pyspark.sql import functions as F
+    cells = cube.cells()
+    if vmin is None or vmax is None:
+        r = cells.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+        vmin = float(r["lo"]) if vmin is None else float(vmin)
+        vmax = float(r["hi"]) if vmax is None else float(vmax)
+    width = (vmax - vmin) / bins if vmax > vmin else 1.0
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0),
+                F.floor((F.col("value") - F.lit(vmin)) / F.lit(width)))).cast("long")
+    return (cells.filter(F.col("value").isNotNull())
+            .groupBy("band", b.alias("bin"))
+            .agg(F.count("*").alias("n"))
+            .select("band", "bin",
+                    F.round(F.lit(vmin) + F.col("bin") * F.lit(width), 9).alias("lo"),
+                    F.round(F.lit(vmin) + (F.col("bin") + 1) * F.lit(width), 9).alias("hi"),
+                    "n"))
