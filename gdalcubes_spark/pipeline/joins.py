@@ -38,20 +38,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str = "ts",
     ordered window → filter back to left rows. Shuffle volume = |L| + |R|
     rows, never a candidate cross product."""
     rcols = right_cols or [c for c in right.columns if c not in (on, ts)]
-    l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = (right.select(on, ts, *rcols)
-             .withColumn("_side", F.lit(0)))
-    # sides must align on columns for the union: left keeps its payload,
-    # right's carried columns become nullable on the left side
-    for c in rcols:
-        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
     lcols = [c for c in left.columns if c not in (on, ts)]
+    # suffix the carried right columns FIRST — only then graft each side's
+    # missing columns as typed NULLs (adding them unsuffixed would clobber
+    # a right payload column that shares a name with a left one)
+    r_tag = right.select(on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in rcols]) \
+        .withColumn("_side", F.lit(0))
     for c in lcols:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    r_tag = r_tag.select(on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
-                         "_side", *lcols)
-    l_tag = l_tag.select(on, ts, *[f"{c}{suffix}" for c in rcols], "_side", *lcols)
-    u = l_tag.unionByName(r_tag)
+    l_tag = left.withColumn("_side", F.lit(1))
+    for c in rcols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    cols = [on, ts, *[f"{c}{suffix}" for c in rcols], "_side", *lcols]
+    u = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
     # strict=False: right rows at the same ts are visible to left rows at
     # that ts → right sorts FIRST (side 0 < 1); strict=True: they are not →

@@ -306,3 +306,12 @@ class TestAsofJoin:
         """).df()
         assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
         assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+    def test_shared_column_name_not_clobbered(self, spark):
+        # left and right both carry a column named "v": the right value must
+        # survive into v_r (regression: null-grafting used to overwrite it)
+        from gdalcubes_spark.pipeline.joins import asof_join
+        left = spark.createDataFrame([(1, 10, 111.0)], "k int, ts int, v double")
+        right = spark.createDataFrame([(1, 5, 222.0)], "k int, ts int, v double")
+        out = asof_join(left, right, on="k", ts="ts").collect()[0]
+        assert out["v"] == 111.0 and out["v_r"] == 222.0
