@@ -120,13 +120,17 @@ class TestTiffProperties:
         tile=st.sampled_from([16, 32, 48]),
         compress=st.sampled_from(["none", "deflate"]),
         big=st.booleans(),
+        pred=st.sampled_from([None, 1, 2, 3]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def test_roundtrip_any_shape(self, nb, h, w, dtype, tile, compress, big, seed):
+    def test_roundtrip_any_shape(self, nb, h, w, dtype, tile, compress, big, pred, seed):
         from gdalcubes_spark import tiffcodec as tc
         rng = np.random.default_rng(seed)
         a = (rng.random((nb, h, w)) * 1000 - 200).astype(dtype)
-        b = tc.encode_geotiff(a, tile=tile, compress=compress, bigtiff=big)
+        isf = np.issubdtype(a.dtype, np.floating)
+        if (pred == 2 and isf) or (pred == 3 and not isf):
+            pred = None  # invalid combos are rejected (tested elsewhere)
+        b = tc.encode_geotiff(a, tile=tile, compress=compress, bigtiff=big, predictor=pred)
         out, meta = tc.decode_geotiff(b)
         assert out.dtype == a.dtype and np.array_equal(out, a)
         rep = tc.cog_layout_report(b)
