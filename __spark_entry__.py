@@ -302,13 +302,6 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs_with_clones(spark, sf_dir), threshold=0.8).select("ida", "idb", "jaccard")
 
 
-def _q_dedup_simhash(spark, sf_dir):
-    """rows-only: 64-bit xxhash64 SimHash isn't reproducible in DuckDB SQL;
-    pytest validates clone detection instead."""
-    from gdalcubes_spark.pipeline.dedup import simhash_near_pairs
-    return simhash_near_pairs(_docs_with_clones(spark, sf_dir), max_hamming=4).select("ida", "idb", "hamming")
-
-
 def _q_dedup_simhash_md5(spark, sf_dir):
     """Engine-agnostic SimHash (60-bit, md5 token hashes): the banded-bucket
     near-dup join's output is compared against a DuckDB brute-force all-pairs
@@ -380,15 +373,6 @@ def _q_text_quality_by_source(spark, sf_dir):
                 F.round("q3", 6).alias("q3"), "n_docs"))
 
 
-def _q_seq_pack(spark, sf_dir):
-    """rows-only: FFD bin packing is algorithmic (not SQL-expressible);
-    pytest pins the invariants (every doc once, fills ≤ max_len, FFD bound,
-    partitioning-independent determinism)."""
-    from gdalcubes_spark.pipeline.seqpack import pack_sequences
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_sequences(d, max_len=512, len_col="n_chars", n_buckets=16)
-
-
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: minhash-LSH pair graph → alternating
     large-star/small-star connected components → every doc labeled with its
@@ -449,11 +433,14 @@ def _q_ann_lsh(spark, sf_dir):
 
 def _q_ann_ivf(spark, sf_dir):
     """rows-only: approximate by design (probe n_probe of n_centroids lists);
-    pytest reports recall vs brute force."""
+    pytest reports recall vs brute force. train_full_corpus=True so the
+    driver gate exercises the DISTRIBUTED Lloyd's refinement
+    (pipeline/clustering.py), not just the seeded driver-side sample."""
     from gdalcubes_spark.pipeline.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4,
+                    train_full_corpus=True)
 
 
 def _q_ann_pq(spark, sf_dir):
@@ -470,11 +457,13 @@ def _q_ann_pq(spark, sf_dir):
 def _q_ann_ivfpq(spark, sf_dir):
     """rows-only: IVF list pruning + PQ-ADC candidate scoring + exact
     re-rank — the billion-scale production ANN layout; pytest reports recall
-    vs brute and sim-exactness of agreeing pairs."""
+    vs brute and sim-exactness of agreeing pairs. train_full_corpus=True so
+    the coarse quantizer runs the distributed Lloyd's path under the gate."""
     from gdalcubes_spark.pipeline.similarity import ivfpq_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
-    return ivfpq_topk(emb, queries, k=5, n_centroids=16, n_probe=6, m=8, ks=32, refine=4)
+    return ivfpq_topk(emb, queries, k=5, n_centroids=16, n_probe=6, m=8, ks=32, refine=4,
+                      train_full_corpus=True)
 
 
 def _q_apply_time_cumsum(spark, sf_dir):
@@ -523,17 +512,6 @@ def _q_multimodal_features(spark, sf_dir):
     imgs = generate_images(spark, 48, lay)
     f = decode_features(imgs, resize=(8, 8))
     return f.select("image_id", "nb", "h", "w", "ahash")
-
-
-def _q_phash_neardup(spark, sf_dir):
-    """rows-only: visual near-dup via the inventory phash column; pytest
-    validates Hamming semantics on synthetic clones."""
-    from gdalcubes_spark.pipeline.dedup import phash_near_pairs
-    from gdalcubes_spark.synth import ImageLayout, generate_images
-    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=1, fmts=("raw",),
-                      hot_every=5)  # hot images share the tile → identical phash
-    imgs = generate_images(spark, 64, lay)
-    return phash_near_pairs(imgs, max_hamming=4)
 
 
 def _q_phash_neardup_md5(spark, sf_dir):
@@ -758,8 +736,68 @@ def _q_scan_resample_average(spark, sf_dir):
     return c.cells().select("it", "iy", "ix", "value")
 
 
+def _q_scan_raw_oracle(spark, sf_dir):
+    """The flagship image-scan path with a FULL DuckDB oracle (r3 VERDICT
+    item 2): raw-format inventory whose pixels are the closed-form synth
+    formula v=(a·px+b·py+17·band+d) mod 256, run through the REAL distributed
+    scan — bbox→chunk range join, binary decode, nearest resample, per-cell
+    MEAN over overlapping images (hot_every=7 pins a skew cluster onto tile
+    (0,0,0)) — then reduce_time(max/min). The oracle reconstructs every pixel
+    from the same formula in pure SQL (range() joins), so chunk assignment,
+    decode, aggregation and reduction are all value-hash-gated. Geometry is
+    knife-edge-free: pdx=dx=2^-4 exactly, cell centers at half-pixels; mean =
+    exact-int-sum/count, identical to AVG in float64; max/min order-free."""
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                      ntime=4, tile_w=32, tile_h=32, nb=2, fmts=("raw",), hot_every=7)
+    imgs = generate_images(_utc(spark), 64, lay)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                        t0="2021-01-01", t1="2021-01-04", dt="P1D", dx=0.0625, dy=0.0625,
+                        aggregation="mean", resampling="near")
+    c = raster_cube(imgs, v, band_names(lay),
+                    chunking=ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=32, cx=32))
+    r = c.reduce_time("max(B01)", "min(B02)")
+    return r.cells().select("iy", "ix", "band", "value")
+
+
+_SCAN_RAW_ORACLE_SQL = """
+    WITH imgs AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0 THEN 0 ELSE i % 2 END AS tx,
+             CASE WHEN i % 7 = 0 THEN 0 ELSE (i // 2) % 2 END AS ty,
+             CASE WHEN i % 7 = 0 THEN 0 ELSE (i // 4) % 4 END AS tt,
+             1 + (i * 7) % 5 AS a, 1 + (i * 11) % 5 AS b, (i * 13) % 256 AS d
+      FROM range(64) t(i)
+    ),
+    px AS (
+      SELECT tt AS it, 32 * ty + py AS iy, 32 * tx + px AS ix, ib,
+             CAST((a * px + b * py + 17 * ib + d) % 256 AS DOUBLE) AS v
+      FROM imgs
+      CROSS JOIN range(32) yy(py) CROSS JOIN range(32) xx(px) CROSS JOIN range(2) bb(ib)
+    ),
+    agg AS (
+      SELECT it, iy, ix, ib, AVG(v) AS value FROM px GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(iy AS INTEGER) AS iy, CAST(ix AS INTEGER) AS ix,
+           'B01_max' AS band, MAX(value) AS value
+    FROM agg WHERE ib = 0 GROUP BY iy, ix
+    UNION ALL
+    SELECT CAST(iy AS INTEGER), CAST(ix AS INTEGER), 'B02_min', MIN(value)
+    FROM agg WHERE ib = 1 GROUP BY iy, ix
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ALL DuckDB-oracled queries first, rows-only last: the driver runs the
+    dict in order under a budget, and an oracled query it never reaches has
+    no green CORRECTNESS row (the r3 gap). Redundant rows-only twins of
+    oracled queries (xxhash simhash/phash, raw seq_pack) live in pytest only
+    (tests/test_pipeline.py, tests/test_training_ops.py)."""
     return {
+        # ---- DuckDB-oracled (rows + schema + value-hash gate) ----
         "cube_reduce_time": _q_reduce_time,
         "cube_reduce_quantiles": _q_reduce_quantiles,
         "cube_reduce_space": _q_reduce_space,
@@ -781,46 +819,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_fill_time_near": _q_fill_time_near,
         "cube_reduce_counts": _q_reduce_counts,
         "cube_join_bands": _q_join_bands,
+        "cube_apply_time_cumsum": _q_apply_time_cumsum,
+        "scan_raw_oracle": _q_scan_raw_oracle,
+        "text_stats": _q_text_stats,
+        "text_tokens": _q_text_tokens,
+        "text_tfidf": _q_text_tfidf,
+        "text_winnow": _q_text_winnow,
+        "text_ngrams": _q_text_ngrams,
+        "text_quality_by_source": _q_text_quality_by_source,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash_md5": _q_dedup_simhash_md5,
+        "dedup_clusters": _q_dedup_clusters,
+        "phash_neardup_md5": _q_phash_neardup_md5,
+        "sample_det": _q_sample_det,
+        "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_sample_mixture,
+        "curriculum_shards": _q_curriculum,
+        "seq_pack_stats": _q_seq_pack_stats,
+        "ann_topk": _q_ann_topk,
+        "embed_neardup": _q_embed_neardup,
+        "semantic_dedup": _q_semantic_dedup,
+        "knn_tiles": _q_knn_tiles,
+        "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
+        # ---- rows-only (binary decode / approximate by design; each has a
+        #      numpy or brute-force oracle in tests/) ----
         "scan_monthly_median": _q_scan_monthly_median,
         "scan_from_table": _q_scan_from_table,
         "scan_geotiff": _q_scan_geotiff,
         "scan_webmercator": _q_scan_webmercator,
         "scan_resample_average": _q_scan_resample_average,
-        "text_stats": _q_text_stats,
-        "text_tokens": _q_text_tokens,
-        "text_tfidf": _q_text_tfidf,
-        "text_winnow": _q_text_winnow,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_md5": _q_dedup_simhash_md5,
-        "dedup_clusters": _q_dedup_clusters,
-        "sample_det": _q_sample_det,
-        "sample_stratified": _q_sample_stratified,
-        "sample_mixture": _q_sample_mixture,
-        "curriculum_shards": _q_curriculum,
-        "text_ngrams": _q_text_ngrams,
-        "text_quality_by_source": _q_text_quality_by_source,
-        "seq_pack": _q_seq_pack,
-        "ann_topk": _q_ann_topk,
-        "embed_neardup": _q_embed_neardup,
-        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
-        "knn_tiles": _q_knn_tiles,
-        "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "multimodal_features": _q_multimodal_features,
         "image_quality": _q_image_quality,
-        "events_window": _q_events_window,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
-        "events_asof": _q_events_asof,
-        "phash_neardup": _q_phash_neardup,
-        "phash_neardup_md5": _q_phash_neardup_md5,
-        "seq_pack_stats": _q_seq_pack_stats,
     }
 
 
@@ -1166,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.vec_id, l.cluster, sz.cluster_size, (l.vec_id = l.cluster) AS keep
             FROM lab l JOIN sz USING (cluster)
         """,
+        "scan_raw_oracle": _SCAN_RAW_ORACLE_SQL,
         "cube_apply_time_cumsum": _CELLS_CTE + """
             SELECT it, iy, ix, CAST('v_csum' AS VARCHAR) AS band,
                    SUM(value) OVER (PARTITION BY iy, ix ORDER BY it

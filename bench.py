@@ -270,8 +270,10 @@ def run(sf_dir: str, cores: int, queries=None):
         # pressure (observed 2-3x inflation on dedup_lsh mid-suite)
         spark.catalog.clearCache()
         try:
+            from gdalcubes_spark.pipeline.components import release_checkpoints
             from gdalcubes_spark.pipeline.dedup import release_caches
             release_caches()
+            release_checkpoints()  # checkpoint blocks have their own registry
             # catalog.clearCache() misses RDD-level persists (localCheckpoint
             # blocks from iterative algorithms) — drop those too
             jmap = spark.sparkContext._jsc.getPersistentRDDs()

@@ -335,34 +335,34 @@ class Cube:
             tbl = _re.sub(r"[^A-Za-z0-9_]", "_", path.strip("/"))
             if tbl[:1].isdigit():
                 tbl = f"t_{tbl}"
+            # POSITIVE capability probe, not exception-message matching:
+            # catalog absence is knowable before the write (is the
+            # 'gdalcubes' v2 catalog configured in this session?), and
+            # exception substrings vary across Spark/Iceberg versions — a
+            # genuine write failure mentioning the catalog name must never
+            # be silently downgraded to parquet.
             try:
+                catalog_conf = df.sparkSession.conf.get("spark.sql.catalog.gdalcubes")
+            except Exception:
+                catalog_conf = None
+            if catalog_conf:
+                # catalog configured → any failure from here is real
                 df.writeTo(f"gdalcubes.{tbl}") \
                   .partitionedBy(F.col("ct")).createOrReplace()
                 return
-            except Exception as e:  # noqa: BLE001 — classified below
-                # Downgrade ONLY on catalog absence (no Iceberg jar/conf in
-                # this environment). Anything else — schema mismatch, bad
-                # partition spec, permission — is a real write failure and
-                # must not be masked by a parquet fallback the caller never
-                # asked for. strict=True refuses the downgrade entirely
-                # (set it on any cluster that is supposed to have a catalog).
-                msg = str(e)
-                catalog_absent = ("CATALOG_NOT_FOUND" in msg
-                                  or "Catalog 'gdalcubes'" in msg
-                                  or "catalog plugin" in msg.lower()
-                                  or "cannot find catalog" in msg.lower()
-                                  # no 'gdalcubes' v2 catalog configured →
-                                  # the name falls through to the SESSION
-                                  # catalog, which cannot do RTAS
-                                  or ("spark_catalog" in msg
-                                      and "does not support REPLACE TABLE" in msg))
-                if strict or not catalog_absent:
-                    raise
-                import warnings
-                warnings.warn(
-                    f"Iceberg catalog 'gdalcubes' not configured; writing plain "
-                    f"parquet to {path} instead (pass strict=True to fail): {msg.splitlines()[0]}",
-                    stacklevel=2)
+            # catalog NOT configured (this sandbox: no Iceberg jar/conf).
+            # strict=True refuses the downgrade — set it on any cluster
+            # that is supposed to have a catalog.
+            if strict:
+                raise RuntimeError(
+                    "Iceberg catalog 'gdalcubes' is not configured "
+                    "(spark.sql.catalog.gdalcubes unset) and strict=True — "
+                    "refusing the parquet downgrade")
+            import warnings
+            warnings.warn(
+                f"Iceberg catalog 'gdalcubes' not configured; writing plain "
+                f"parquet to {path} instead (pass strict=True to fail)",
+                stacklevel=2)
         df.write.mode(mode).parquet(path)
 
     def write_bucketed_table(self, table: str, buckets: int = 32, mode: str = "overwrite") -> None:

@@ -235,16 +235,15 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
-                    restart_interval: int = 0) -> bytes:
-    """uint8 (1|3, h, w) → baseline JFIF bytes. subsampling: '444' or '420'
-    (RGB only; '420' is the dominant production layout, kept optional so
-    lossless-critical tests can stay 4:4:4). restart_interval > 0 emits DRI +
-    RSTn markers every N MCUs (resync points real encoders use for error
-    resilience / parallel decode)."""
+def _dct_quant_components(a: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: uint8 (1|3, h, w) → per-component zigzag
+    int32 coefficient arrays (nby, nbx, 64), quant tables, sampling factors.
+    Baseline and progressive streams carry IDENTICAL coefficients — only the
+    entropy layer differs — which is what the progressive roundtrip tests
+    pin (decode(progressive) must equal decode(baseline) bit-for-bit)."""
     nb, h, w = a.shape
     if nb not in (1, 3):
-        raise ValueError("baseline encoder supports 1 (grey) or 3 (RGB) bands")
+        raise ValueError("encoder supports 1 (grey) or 3 (RGB) bands")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     planes = _rgb_to_ycbcr(a.astype(np.float64)) if nb == 3 else a.astype(np.float64)
@@ -275,6 +274,18 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
         q = qt[0] if c == 0 else qt[1]
         zz = np.round(coef / q).astype(np.int32).reshape(blk.shape[0], blk.shape[1], 64)[:, :, ZIGZAG]
         comp_blocks.append(zz)
+    return comp_blocks, qt, sampling
+
+
+def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
+    """uint8 (1|3, h, w) → baseline JFIF bytes. subsampling: '444' or '420'
+    (RGB only; '420' is the dominant production layout, kept optional so
+    lossless-critical tests can stay 4:4:4). restart_interval > 0 emits DRI +
+    RSTn markers every N MCUs (resync points real encoders use for error
+    resilience / parallel decode)."""
+    nb, h, w = a.shape
+    comp_blocks, qt, sampling = _dct_quant_components(a, quality, subsampling)
 
     dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tabs = [_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -396,6 +407,240 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
     out += seg(0xFFDA, sos)
     out += bw.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encode
+
+# AC table for progressive scans: the Annex K baseline AC tables lack the
+# EOBn run-length symbols (0x10..0xE0), so progressive scans use one custom
+# canonical table holding EVERY symbol the scans can emit at a flat 9-bit
+# length (176 symbols < 511 ⇒ no all-ones code). Deliberately simple over
+# optimal — the streams are spec-valid; production encoders ship frequency-
+# built tables, which only changes compression ratio, not decodability.
+_PROG_AC_VALS = tuple([r << 4 for r in range(15)] + [0xF0]
+                      + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_PROG_AC_BITS = tuple([0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7)
+
+
+def _std_scan_script(nb: int):
+    """(comp_indices, Ss, Se, Ah, Al) per scan — the libjpeg default
+    progression (jcparam.c jpeg_simple_progression, public source): DC first
+    at Al=1, spectral-selection AC firsts, then one successive-approximation
+    refinement per band, DC refine last-but-three."""
+    if nb == 1:
+        return [((0,), 0, 0, 0, 1),
+                ((0,), 1, 63, 0, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0)]
+    return [((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((2,), 1, 63, 0, 1),
+            ((1,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+            ((1,), 1, 63, 1, 0)]
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer + the EOB-run state machine progressive AC scans share:
+    EOBRUN batches end-of-band runs across blocks; refinement scans also
+    buffer the run's correction bits (BE) for emission right after EOBn."""
+
+    def __init__(self, ac_tab):
+        super().__init__()
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.be = []  # buffered correction bits of the pending EOB run
+
+    def sym(self, s):
+        code, ln = self.ac[s]
+        self.put(code, ln)
+
+    def bits(self, seq):
+        for b in seq:
+            self.put(b, 1)
+
+    def flush_eobrun(self):
+        n = self.eobrun
+        if n:
+            r = n.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.put(n - (1 << r), r)
+            self.bits(self.be)
+            self.eobrun = 0
+            self.be = []
+
+
+def _scan_block_order(comp_blocks, sampling, comp_ids, h, w):
+    """Yield (comp_index, by, bx) in scan order: interleaved scans walk MCUs
+    (edge blocks clamped like the baseline writer); single-component scans
+    walk the component's own block raster (T.81 non-interleaved rule)."""
+    if len(comp_ids) == 1:
+        c = comp_ids[0]
+        hb, wb = comp_blocks[c].shape[:2]
+        for by in range(hb):
+            for bx in range(wb):
+                yield c, by, bx
+        return
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comp_ids:
+                ch, cv = sampling[c]
+                hb, wb = comp_blocks[c].shape[:2]
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield c, min(my * cv + by, hb - 1), min(mx * ch + bx, wb - 1)
+
+
+def encode_progressive(a: np.ndarray, quality: int = 90,
+                       subsampling: str = "444") -> bytes:
+    """uint8 (1|3, h, w) → PROGRESSIVE (SOF2) JFIF bytes, T.81 Annex G
+    spectral selection + successive approximation. Coefficients are identical
+    to encode_baseline at the same quality/subsampling — only the scan layout
+    differs — so decode(progressive) == decode(baseline) exactly."""
+    nb, h, w = a.shape
+    comp_blocks, qt, sampling = _dct_quant_components(a, quality, subsampling)
+    dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if nb == 3:
+        dc_tabs.append(_huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    ac_tab = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def enc_dc_first(wtr, comp_ids, al):
+        preds = [0] * nb
+        for c, by, bx in _scan_block_order(comp_blocks, sampling, comp_ids, h, w):
+            v = int(comp_blocks[c][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+            diff = v - preds[c]
+            preds[c] = v
+            s = abs(diff).bit_length()
+            code, ln = dc_tabs[0 if c == 0 else 1][s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def enc_dc_refine(wtr, comp_ids, al):
+        for c, by, bx in _scan_block_order(comp_blocks, sampling, comp_ids, h, w):
+            wtr.put((int(comp_blocks[c][by, bx, 0]) >> al) & 1, 1)
+
+    def enc_ac_first(wtr, comp_ids, ss, se, al):
+        c = comp_ids[0]
+        hb, wb = comp_blocks[c].shape[:2]
+        for by in range(hb):
+            for bx in range(wb):
+                row = comp_blocks[c][by, bx]
+                run = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    t = int(row[k])
+                    mag = (-t if t < 0 else t) >> al  # toward-zero (G.1.2.2)
+                    if mag == 0:
+                        run += 1
+                        continue
+                    wtr.flush_eobrun()
+                    while run > 15:
+                        wtr.sym(0xF0)
+                        run -= 16
+                    s = mag.bit_length()
+                    wtr.sym((run << 4) | s)
+                    v = mag if t >= 0 else -mag
+                    wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                    wrote = True
+                if run or not wrote:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.flush_eobrun()
+        wtr.flush_eobrun()
+
+    def enc_ac_refine(wtr, comp_ids, ss, se, al):
+        # jcphuff.c encode_mcu_AC_refine structure (public libjpeg source):
+        # newly-nonzero coefs emit (run<<4)|1 + sign; already-nonzero coefs
+        # ride as correction bits, buffered per symbol (BR) or per EOB run (BE)
+        c = comp_ids[0]
+        hb, wb = comp_blocks[c].shape[:2]
+        for by in range(hb):
+            for bx in range(wb):
+                row = comp_blocks[c][by, bx]
+                absv = [(-int(row[k]) if row[k] < 0 else int(row[k])) >> al
+                        for k in range(ss, se + 1)]
+                eob = -1  # band index of the LAST newly-nonzero coefficient
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                run = 0
+                br = []  # correction bits awaiting the current block's next symbol
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        wtr.flush_eobrun()
+                        wtr.sym(0xF0)
+                        run -= 16
+                        wtr.bits(br)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    wtr.flush_eobrun()
+                    wtr.sym((run << 4) | 1)
+                    wtr.put(1 if row[ss + i] >= 0 else 0, 1)
+                    wtr.bits(br)
+                    br = []
+                    run = 0
+                if run or br:
+                    wtr.eobrun += 1
+                    wtr.be.extend(br)
+                    if wtr.eobrun == 0x7FFF or len(wtr.be) > 900:
+                        wtr.flush_eobrun()
+        wtr.flush_eobrun()
+
+    # ----- markers
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([i]) + bytes(q.astype(np.uint8).ravel()[ZIGZAG]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nb])
+    for c in range(nb):
+        sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0 if c == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+             (0x10, _PROG_AC_BITS, _PROG_AC_VALS)]
+    if nb == 3:
+        huffs.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc, bits, vals in huffs:
+        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    for comp_ids, ss, se, ah, al in _std_scan_script(nb):
+        wtr = _ProgWriter(ac_tab)
+        if ss == 0 and ah == 0:
+            enc_dc_first(wtr, comp_ids, al)
+        elif ss == 0:
+            enc_dc_refine(wtr, comp_ids, al)
+        elif ah == 0:
+            enc_ac_first(wtr, comp_ids, ss, se, al)
+        else:
+            enc_ac_refine(wtr, comp_ids, ss, se, al)
+        wtr.flush()
+        sos = bytes([len(comp_ids)])
+        for c in comp_ids:
+            td = 0 if c == 0 else 1
+            sos += bytes([c + 1, (td << 4) | 0])  # AC table 0 for every comp
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += wtr.out
+    out += b"\xFF\xD9"
     return bytes(out)
 
 

@@ -22,6 +22,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# localCheckpoint block handles from CONVERGED component edge sets. These are
+# deliberately NOT in dedup._CACHED: checkpoint lineage is truncated, so a
+# released result can never recompute — while dedup's registry holds
+# recomputable caches that other library functions (knn_tiles,
+# minhash_signatures) free unilaterally between queries. Sharing one registry
+# let those calls silently invalidate an un-collected dedup_clusters result.
+_CKPT_CACHED: list = []
+
+
+def release_checkpoints() -> None:
+    """Free the converged edge sets' localCheckpoint blocks. Collect or
+    persist any outstanding connected_components / dedup_clusters result
+    FIRST — released checkpoints cannot recompute (truncated lineage)."""
+    while _CKPT_CACHED:
+        try:
+            _CKPT_CACHED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor larger than u to u's minimum neighborhood label.
@@ -62,8 +81,6 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
     Returns (id, component). Isolated nodes don't appear in `pairs`, so they
     don't appear here either — left-join and coalesce(component, id) at the
     call site to label a full corpus."""
-    from gdalcubes_spark.pipeline.dedup import _CACHED
-
     sc = pairs.sparkSession.sparkContext
 
     def checkpointed(df: DataFrame):
@@ -105,8 +122,10 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
             break
         prev = cur
     # the converged edge set backs the returned (lazy) DataFrame — register
-    # its block handles for release_caches() so the NEXT query frees them
-    _CACHED.extend(live)
+    # its block handles in the checkpoint-only registry so a long session can
+    # free them with release_checkpoints() AFTER collecting the result
+    # (dedup.release_caches() no longer touches these: see _CKPT_CACHED)
+    _CKPT_CACHED.extend(live)
     # converged state: a star — every non-root points at its component min
     comp = (edges.select(F.greatest("src", "dst").alias("id"),
                          F.least("src", "dst").alias("component"))

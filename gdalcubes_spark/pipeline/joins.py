@@ -36,20 +36,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str = "ts",
 
     Scale shape: union both sides (narrow) → ONE shuffle on the key for the
     ordered window → filter back to left rows. Shuffle volume = |L| + |R|
-    rows, never a candidate cross product."""
+    rows, never a candidate cross product.
+
+    Nullable right payloads: the carried columns are packed into ONE struct
+    and window-filled atomically, so every output row's right payload comes
+    from a SINGLE right row — a NULL value inside the matched right row is
+    carried as NULL, never back-filled from an older right row (the semantics
+    DuckDB's native ASOF JOIN has)."""
+    from pyspark.sql import types as T
+
     rcols = right_cols or [c for c in right.columns if c not in (on, ts)]
     lcols = [c for c in left.columns if c not in (on, ts)]
-    # suffix the carried right columns FIRST — only then graft each side's
-    # missing columns as typed NULLs (adding them unsuffixed would clobber
-    # a right payload column that shares a name with a left one)
-    r_tag = right.select(on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in rcols]) \
-        .withColumn("_side", F.lit(0))
+    # the right payload travels as ONE struct: a per-column fill could mix
+    # columns from different right rows whenever a payload value is NULL
+    pay_t = T.StructType([T.StructField(c, right.schema[c].dataType) for c in rcols])
+    r_tag = (right.select(on, ts, F.struct(*[F.col(c) for c in rcols]).alias("_rpay"))
+             .withColumn("_side", F.lit(0)))
     for c in lcols:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    l_tag = left.withColumn("_side", F.lit(1))
-    for c in rcols:
-        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
-    cols = [on, ts, *[f"{c}{suffix}" for c in rcols], "_side", *lcols]
+    l_tag = (left.withColumn("_side", F.lit(1))
+             .withColumn("_rpay", F.lit(None).cast(pay_t)))
+    cols = [on, ts, "_rpay", "_side", *lcols]
     u = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
     # strict=False: right rows at the same ts are visible to left rows at
@@ -58,9 +65,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str = "ts",
     side_order = F.col("_side").desc() if strict else F.col("_side").asc()
     w = (W.partitionBy(on).orderBy(F.col(ts).asc(), side_order)
          .rowsBetween(W.unboundedPreceding, 0))
-    out = u
-    for c in rcols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.last(F.when(F.col("_side") == 0, F.col(f"{c}{suffix}")), ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side")
+    filled = u.withColumn("_rpay", F.last("_rpay", ignorenulls=True).over(w))
+    return (filled.filter(F.col("_side") == 1)
+            .select(on, ts, *[F.col("_rpay")[c].alias(f"{c}{suffix}") for c in rcols],
+                    *lcols))

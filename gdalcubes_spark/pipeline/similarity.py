@@ -46,6 +46,13 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     disjoint across batches, so one final per-query window merges them.
     For query sets large enough that B corpus scans hurt, route to
     hyperplane_lsh_topk / ivf_topk (the sublinear paths)."""
+    from gdalcubes_spark.pipeline.dedup import widen_input
+
+    # widen ONCE, outside the per-batch closure: every query batch scans the
+    # SAME widened corpus subtree, so Spark reuses one exchange instead of
+    # re-shuffling the (wide, vector-bearing) corpus rows per batch — the
+    # repeated repartition was measured at ~2x on small corpora (r3 bench)
+    src = widen_input(embeddings.select(id_col, vec_col))
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def local_topk(batches: Iterable[pd.DataFrame]):
@@ -67,8 +74,7 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 out = pd.DataFrame(rows)
                 yield out[np.isfinite(out["sim"])]
 
-        from gdalcubes_spark.pipeline.dedup import widen_input
-        return widen_input(embeddings.select(id_col, vec_col)).mapInPandas(local_topk, _PAIR_SCHEMA)
+        return src.mapInPandas(local_topk, _PAIR_SCHEMA)
 
     local = None
     buf_ids, buf_vecs = [], []
@@ -264,17 +270,28 @@ _NEARDUP_SCHEMA = T.StructType([
 
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         batch_queries: int = 4096) -> DataFrame:
+                         batch_queries: int = 4096,
+                         max_rows: int = 262_144) -> DataFrame:
     """EXACT embedding near-dup pairs: all (ida < idb) with cosine ≥
     threshold — the embedding-space twin of exact_dedup.
 
-    Shape: the corpus is streamed through the driver in bounded batches
-    (same pattern as brute_topk), each batch broadcast into a mapInPandas
-    scan doing one float64 matmul per Arrow batch; only rows ≥ threshold
-    leave the executor, so the shuffle is O(result pairs). Exact all-pairs is
-    O(n²) dot products — right for the final verify gate or modest corpora;
-    at 100 TB generate candidates with hyperplane buckets first
-    (hyperplane_lsh_topk's bucket stage) and verify candidates here."""
+    AUDIT-GATE API, guarded: the corpus is streamed through the driver in
+    bounded batches and every batch scans every row — O(n²) dot products
+    plus a driver pass. That is the right shape for verifying a sampled
+    slice or a modest corpus, and catastrophically wrong at corpus scale,
+    so the call HARD-FAILS when the input exceeds `max_rows` (raise the cap
+    explicitly if you really mean it). The production path is
+    cosine_neardup_pairs_bucketed (hyperplane sign buckets, executor-side
+    exact verify, no driver pass)."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs is the O(n^2) audit gate; input has {n} rows "
+            f"> max_rows={max_rows}. Use cosine_neardup_pairs_bucketed for "
+            f"corpus-scale near-dup, or pass max_rows explicitly to override.")
+
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    src = widen_input(embeddings.select(id_col, vec_col))  # once; exchange reused per batch
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def emit(batches: Iterable[pd.DataFrame]):
@@ -290,8 +307,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                 keep = a < b  # dedupe + drop self
                 yield pd.DataFrame(dict(ida=a[keep], idb=b[keep], sim=S[qi, ei][keep]))
 
-        from gdalcubes_spark.pipeline.dedup import widen_input
-        return widen_input(embeddings.select(id_col, vec_col)).mapInPandas(emit, _NEARDUP_SCHEMA)
+        return src.mapInPandas(emit, _NEARDUP_SCHEMA)
 
     out = None
     buf_ids, buf_vecs = [], []
@@ -528,7 +544,8 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 16, n_probe: int = 4, m: int = 8, ks: int = 64,
                iters: int = 6, seed: int = 11, refine: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True, sample_rows: int = 4096) -> DataFrame:
+               exclude_self: bool = True, sample_rows: int = 4096,
+               train_full_corpus: bool = False) -> DataFrame:
     """IVF+PQ — the billion-scale production layout: coarse centroids prune
     the corpus to n_probe inverted lists per query, PQ codes (m bytes/vector)
     score the surviving candidates by asymmetric distance, and the top
@@ -560,6 +577,13 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             if len(mbr):
                 C[j] = mbr.mean(axis=0)
         C = _norm_rows(C)
+    if train_full_corpus:
+        # refine the COARSE quantizer over all vectors with the distributed
+        # Lloyd's pass (per-partition partial sums — k·dim floats/partition
+        # through the shuffle, corpus-size independent)
+        from gdalcubes_spark.pipeline.clustering import distributed_kmeans
+        C = distributed_kmeans(embeddings, k=n_centroids, iters=iters, seed=seed,
+                               id_col=id_col, vec_col=vec_col, seed_rows=sample_rows)
     CB, dim, dsub = _pq_train(embeddings, m, ks, iters, seed, sample_rows, id_col, vec_col)
     cn2 = 0.5 * (CB * CB).sum(axis=2)
 

@@ -157,6 +157,12 @@ def _downsample2(a: np.ndarray, nodata: Optional[float]) -> np.ndarray:
 
 
 def _geokeys(epsg: int) -> List[int]:
+    # 2-D geographic CRS live in 4000-4999, but that range also holds the
+    # geocentric/3D WGS84 codes — those would be mislabeled as geographic
+    # (GTModelType=2 + GeographicTypeGeoKey), so refuse them outright
+    if epsg in (4978, 4979):
+        raise ValueError(f"EPSG:{epsg} is a geocentric/3D CRS; encode_geotiff "
+                         "supports 2D geographic (4xxx) and projected codes only")
     geographic = 4000 <= epsg < 5000
     keys = [
         (1024, 0, 1, 2 if geographic else 1),  # GTModelType: 2 geographic, 1 projected
@@ -481,7 +487,10 @@ def decode_geotiff(b: bytes, level: int = 0) -> Tuple[np.ndarray, dict]:
             "left": None, "top": None, "dx": None, "dy": None, "epsg": None, "nodata": None}
     t0 = all_tags[0]
     if 33550 in t0 and 33922 in t0:
-        meta["dx"], meta["dy"] = float(t0[33550][0]), float(t0[33550][1])
+        # ModelPixelScale stores |dy|; return the north-up geotransform
+        # convention (negative dy) so meta slots directly into a GDAL-style
+        # (left, dx, 0, top, 0, dy) transform without a sign flip
+        meta["dx"], meta["dy"] = float(t0[33550][0]), -abs(float(t0[33550][1]))
         meta["left"], meta["top"] = float(t0[33922][3]), float(t0[33922][4])
     if 34735 in t0:
         kd = t0[34735]

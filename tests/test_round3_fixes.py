@@ -138,15 +138,23 @@ class TestIcebergStrict:
             c.write_parquet(str(tmp_path / "ice2"), format="iceberg", strict=True)
 
     def test_non_catalog_failure_propagates(self, spark, tmp_path, monkeypatch):
+        """With the catalog CONFIGURED (positive probe passes), any write
+        failure — even one whose message mentions the catalog name — must
+        propagate; the parquet downgrade exists only for catalog absence."""
         c = self._tiny_cube(spark)
 
         def _fail(self, *a, **k):
-            raise RuntimeError("TABLE_SCHEMA_MISMATCH: incompatible column type")
+            raise RuntimeError("write failed in Catalog 'gdalcubes': boom")
 
         # patch the CONCRETE class (Spark 4: pyspark.sql.classic), not the ABC
         monkeypatch.setattr(type(c.df), "writeTo", _fail)
-        with pytest.raises(RuntimeError, match="SCHEMA_MISMATCH"):
-            c.write_parquet(str(tmp_path / "ice3"), format="iceberg")
+        spark.conf.set("spark.sql.catalog.gdalcubes",
+                       "org.apache.iceberg.spark.SparkCatalog")
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                c.write_parquet(str(tmp_path / "ice3"), format="iceberg")
+        finally:
+            spark.conf.unset("spark.sql.catalog.gdalcubes")
         assert not os.path.exists(str(tmp_path / "ice3"))  # no silent parquet
 
 

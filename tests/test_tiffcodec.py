@@ -69,7 +69,7 @@ class TestGeoTags:
                               dy=0.02, epsg=4326, nodata=-1.5)
         _, meta = tc.decode_geotiff(b)
         assert meta["left"] == 5.25 and meta["top"] == 53.5
-        assert meta["dx"] == 0.01 and meta["dy"] == 0.02
+        assert meta["dx"] == 0.01 and meta["dy"] == -0.02  # north-up sign
         assert meta["epsg"] == 4326 and meta["nodata"] == -1.5
 
     def test_geokey_model_type(self):
@@ -203,7 +203,7 @@ class TestWriteTifSink:
             expect = np.where(np.isnan(arr[:, it]), -9999.0, arr[:, it])
             assert np.array_equal(out, expect)
             assert meta["left"] == 5.0 and meta["top"] == 56.0
-            assert meta["dx"] == 0.25 and meta["dy"] == 0.25
+            assert meta["dx"] == 0.25 and meta["dy"] == -0.25  # north-up sign
             assert meta["epsg"] == 4326 and meta["nodata"] == -9999.0
             rep = tc.cog_layout_report(b)
             assert rep["ifds_before_data"] and rep["overview_tiles_first"]
