@@ -165,8 +165,8 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     if b[:4] == _JPEG_MAGIC:  # legacy deterministic-stub payloads
         return _raw_decode(b[4:])
     raise NotImplementedError(
-        "unsupported image payload: expected baseline JFIF (FFD8), a GCJM "
-        "band pack, or legacy stub bytes; progressive JPEG needs libjpeg"
+        "unsupported image payload: expected JFIF (FFD8; baseline or "
+        "progressive), a GCJM band pack, or legacy stub bytes"
     )
 
 

@@ -1,18 +1,22 @@
-"""Baseline JPEG (JFIF) encoder/decoder in pure numpy — no libjpeg/PIL.
+"""JPEG (JFIF) encoder/decoder in pure numpy — no libjpeg/PIL.
 
 Implemented from the PUBLIC specs: ITU-T T.81 (DCT, entropy coding, marker
-structure, Annex K quantization + Huffman tables) and the JFIF 1.02 container
-note. This replaces the round-1/2 deterministic stub behind codecs._jpeg_*:
-`fmt='jpeg'` payloads are now REAL JFIF bytes, and the PSNR≥40dB acceptance
-gate (north rule / input_hint) runs through an actual DCT+Huffman round trip.
+structure, Annex K quantization + Huffman tables, Annex G progressive mode)
+and the JFIF 1.02 container note. This replaces the round-1/2 deterministic
+stub behind codecs._jpeg_*: `fmt='jpeg'` payloads are now REAL JFIF bytes,
+and the PSNR≥40dB acceptance gate (north rule / input_hint) runs through an
+actual DCT+Huffman round trip.
 
-Scope (baseline sequential DCT, the dominant production subset):
-- encode: greyscale (1 band) or RGB (3 bands, BT.601 full-range YCbCr),
-  4:4:4 or 4:2:0 chroma subsampling, IJG quality scaling of the Annex K
-  tables, standard Annex K Huffman tables, byte stuffing, no restart markers.
-- decode: any baseline (SOF0) stream with 8-bit samples, 1 or 3 components,
-  arbitrary sampling factors up to 2x2, multiple DQT/DHT segments, restart
-  markers (DRI), APPn/COM skip. Progressive (SOF2) raises NotImplementedError.
+Scope:
+- encode: baseline (SOF0) and progressive (SOF2, encode_progressive with the
+  libjpeg default scan script) — greyscale (1 band) or RGB (3 bands, BT.601
+  full-range YCbCr), 4:4:4 or 4:2:0 chroma subsampling, IJG quality scaling
+  of the Annex K tables, byte stuffing, optional restart markers (baseline).
+- decode: any baseline (SOF0/1) or progressive (SOF2) Huffman stream with
+  8-bit samples, 1 or 3 components, sampling factors up to 2x2, multiple
+  DQT/DHT segments, spectral selection + successive approximation (DC/AC
+  first and refinement scans, EOB runs), restart markers (DRI), APPn/COM
+  skip. Lossless/hierarchical/arithmetic variants raise NotImplementedError.
 
 Performance shape: the entropy loop is per-symbol Python but fully INLINED —
 local-variable bit state, cached python-list 16-bit prefix LUTs (O(1) per
@@ -646,9 +650,47 @@ def encode_progressive(a: np.ndarray, quality: int = 90,
 
 # ----------------------------------------------------------------- decode
 
+def _split_segments(scan: bytes, restart_interval: int) -> list:
+    """Entropy bytes → unstuffed segments, split at RSTn when DRI is set."""
+    if not restart_interval:
+        return [scan.replace(b"\xFF\x00", b"\xFF")]
+    segments = []
+    seg_bytes = bytearray()
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+            segments.append(bytes(seg_bytes))
+            seg_bytes = bytearray()
+            i += 2
+            continue
+        seg_bytes.append(scan[i])
+        if scan[i] == 0xFF and i + 1 < len(scan) and scan[i + 1] == 0x00:
+            i += 2
+        else:
+            i += 1
+    segments.append(bytes(seg_bytes))
+    return segments
+
+
+def _rsym(rd: _BitReader, lut) -> int:
+    """One Huffman symbol via the 16-bit prefix LUT (list form)."""
+    sym, ln = lut
+    idx = rd.peek16()
+    length = ln[idx]
+    if length == 0:
+        raise ValueError("bad Huffman code")
+    rd.skip(length)
+    if rd.nbits < 0:  # truncated tail: missing bits read as 0 (baseline rule)
+        rd.nbits = 0
+        rd.buf = 0
+    return sym[idx]
+
+
 def decode_baseline(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (1|3, h, w). Raises NotImplementedError
-    on progressive (SOF2) and on >8-bit precision."""
+    """JFIF bytes → uint8 (1|3, h, w). Decodes baseline (SOF0/1) with the
+    inlined hot loop AND progressive (SOF2, T.81 Annex G: spectral selection
+    + successive approximation, DC/AC first and refinement scans, EOB runs).
+    Raises NotImplementedError on >8-bit precision / arithmetic coding."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -660,6 +702,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
     scan_comps = None
+    progressive = False
+    pblocks = None  # progressive: per-component int32 coefficient arrays
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -692,18 +736,19 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 (ac_lut if tc else dc_lut)[th] = _huff_lookup_lists(tuple(bits), tuple(vals))
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = payload[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", payload[1:5])
             nc = payload[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 0x0F, tq=tq))
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline/extended/progressive Huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -713,6 +758,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 cs, tt = payload[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cs)
                 scan_comps.append(dict(comp=comp, td=tt >> 4, ta=tt & 0x0F))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
             # find entropy segment end: next marker that is not stuffing/RST
             p = pos
             while p < len(data) - 1:
@@ -721,6 +768,11 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 p += 1
             scan = data[pos:p]
             pos = p
+            if progressive:
+                if pblocks is None:
+                    pblocks = _alloc_blocks(comps, h, w, np.int32)
+                _decode_prog_scan(pblocks, comps, scan_comps, ss, se, ah, al,
+                                  scan, restart_interval, dc_lut, ac_lut, h, w)
     if comps is None or scan is None:
         raise ValueError("truncated JPEG: missing SOF/SOS")
 
@@ -728,38 +780,18 @@ def decode_baseline(data: bytes) -> np.ndarray:
     max_v = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
+    n_comp = len(comps)
+    nbx = [mcus_x * c["h"] for c in comps]
+    nby = [mcus_y * c["v"] for c in comps]
+
+    if progressive:
+        blocks = [b.astype(np.float64) for b in pblocks]
+        return _reconstruct(blocks, comps, qts, nbx, nby, max_h, max_v, h, w)
 
     # entropy decode into per-component zigzag coefficient arrays
-    n_comp = len(comps)
-    blocks = []
-    nbx = []
-    nby = []
-    for c in comps:
-        bx = mcus_x * c["h"]
-        by = mcus_y * c["v"]
-        nbx.append(bx)
-        nby.append(by)
-        blocks.append(np.zeros((by, bx, 64), dtype=np.float64))
+    blocks = _alloc_blocks(comps, h, w, np.float64)
 
-    # split scan at restart markers (RSTn), unstuff each segment
-    segments = []
-    if restart_interval:
-        seg_bytes = bytearray()
-        i = 0
-        while i < len(scan):
-            if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
-                segments.append(bytes(seg_bytes))
-                seg_bytes = bytearray()
-                i += 2
-                continue
-            seg_bytes.append(scan[i])
-            if scan[i] == 0xFF and i + 1 < len(scan) and scan[i + 1] == 0x00:
-                i += 2
-            else:
-                i += 1
-        segments.append(bytes(seg_bytes))
-    else:
-        segments = [scan.replace(b"\xFF\x00", b"\xFF")]
+    segments = _split_segments(scan, restart_interval)
 
     # HOT LOOP: the per-symbol bit reader is fully inlined with local-
     # variable state and python-list Huffman LUTs — the object/function
@@ -856,7 +888,22 @@ def decode_baseline(data: bytes) -> np.ndarray:
                             k += 1
             mcu += 1
 
-    # dequantize + IDCT (whole-component einsum) + upsample + color transform
+    return _reconstruct(blocks, comps, qts, nbx, nby, max_h, max_v, h, w)
+
+
+def _alloc_blocks(comps, h, w, dtype):
+    """MCU-padded per-component zigzag coefficient arrays (nby, nbx, 64)."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=dtype)
+            for c in comps]
+
+
+def _reconstruct(blocks, comps, qts, nbx, nby, max_h, max_v, h, w) -> np.ndarray:
+    """Dequantize + IDCT (whole-component einsum) + upsample + color — shared
+    by the baseline and progressive entropy decoders."""
     planes = []
     for ci, comp in enumerate(comps):
         q = qts[comp["tq"]]
@@ -867,6 +914,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
         if sy > 1 or sx > 1:
             plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
         planes.append(plane[:h, :w])
+    n_comp = len(comps)
     if n_comp == 1:
         out = planes[0][None]
     elif n_comp == 3:
@@ -878,3 +926,125 @@ def decode_baseline(data: bytes) -> np.ndarray:
     else:
         raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(pblocks, comps, scan_comps, ss, se, ah, al, scan,
+                      restart_interval, dc_lut, ac_lut, h, w):
+    """One progressive scan into the shared coefficient state (T.81 G.2;
+    control flow mirrors libjpeg's jdphuff.c, public source). Coefficients
+    accumulate in two's-complement int32, so successive-approximation bit
+    insertion is plain |= / += on the array."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    segments = _split_segments(scan, restart_interval)
+    comp_idx = [comps.index(sc["comp"]) for sc in scan_comps]
+    interleaved = len(scan_comps) > 1
+
+    def units():
+        """Yield lists of (ci, by, bx) — the blocks of one restart unit
+        (MCU when interleaved, single block when not)."""
+        if interleaved:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    u = []
+                    for sci, ci in enumerate(comp_idx):
+                        comp = comps[ci]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                u.append((sci, ci, my * comp["v"] + by, mx * comp["h"] + bx))
+                    yield u
+        else:
+            ci = comp_idx[0]
+            comp = comps[ci]
+            cw = -(-w * comp["h"] // max_h)
+            chh = -(-h * comp["v"] // max_v)
+            for by in range(-(-chh // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield [(0, ci, by, bx)]
+
+    p1 = 1 << al
+    m1 = -p1
+    rd = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    unit_n = 0
+    for unit in units():
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            seg_idx += 1
+            rd = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+        unit_n += 1
+        for sci, ci, by, bx in unit:
+            row = pblocks[ci][by, bx]
+            if ss == 0 and ah == 0:  # DC first
+                s = _rsym(rd, dc_lut[scan_comps[sci]["td"]])
+                diff = _extend(rd.receive(s), s) if s else 0
+                preds[sci] += diff
+                row[0] = preds[sci] << al
+            elif ss == 0:  # DC refine: one appended magnitude bit per block
+                if rd.receive(1):
+                    row[0] |= p1
+            elif ah == 0:  # AC first (spectral band, EOB runs)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                ac = ac_lut[scan_comps[sci]["ta"]]
+                k = ss
+                while k <= se:
+                    sym = _rsym(rd, ac)
+                    r, s = sym >> 4, sym & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            break
+                        row[k] = _extend(rd.receive(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.receive(r)
+                            break
+                        k += 16
+            else:  # AC refine: corrections + newly-nonzero coefficients
+                ac = ac_lut[scan_comps[sci]["ta"]]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _rsym(rd, ac)
+                        r, s = sym >> 4, sym & 15
+                        newval = 0
+                        if s:
+                            newval = p1 if rd.receive(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.receive(r)
+                            break
+                        # advance past r zero-history coefficients, applying
+                        # correction bits to nonzero-history ones on the way
+                        while k <= se:
+                            v = int(row[k])
+                            if v != 0:
+                                if rd.receive(1) and (v & p1) == 0:
+                                    row[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            row[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(row[k])
+                        if v != 0:
+                            if rd.receive(1) and (v & p1) == 0:
+                                row[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1

@@ -99,8 +99,15 @@ class TestMarkers:
         prec, h, w, nc = b[i + 4], *struct.unpack(">HH", b[i + 5:i + 9]), b[i + 9]
         assert (prec, h, w, nc) == (8, 16, 16, 3)
 
-    def test_progressive_rejected(self):
+    def test_progressive_header_accepted_but_truncated_raises(self):
+        # SOF2 is SUPPORTED since round 4; a stream with no SOS is truncated
         b = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_baseline(b)
+
+    def test_lossless_sof_rejected(self):
+        b = (b"\xff\xd8\xff\xc3" + struct.pack(">H", 11)
              + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
         with pytest.raises(NotImplementedError):
             decode_baseline(b)
