@@ -508,7 +508,8 @@ def _q_multimodal_features(spark, sf_dir):
     """rows-only: binary decode isn't SQL-expressible; pytest oracles pixels."""
     from gdalcubes_spark.pipeline.multimodal import decode_features
     from gdalcubes_spark.synth import ImageLayout, generate_images
-    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=3, fmts=("png", "raw", "jpeg"))
+    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=3,
+                      fmts=("png", "raw", "jpeg", "webp"))
     imgs = generate_images(spark, 48, lay)
     f = decode_features(imgs, resize=(8, 8))
     return f.select("image_id", "nb", "h", "w", "ahash")

@@ -195,6 +195,27 @@ def _tif_decode(b: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------------- api
 
+def _webp_encode(a: np.ndarray) -> bytes:
+    """REAL lossless WebP (VP8L, RFC 9649) via the in-repo pure-Python codec
+    (webpcodec.py) — transforms, LZ77, color cache, canonical prefix codes.
+    1/3/4-band; lossless, so the scan's per-cell exactness tests hold."""
+    from gdalcubes_spark.webpcodec import encode_vp8l
+    return encode_vp8l(a)
+
+
+def _webp_decode(b: bytes) -> np.ndarray:
+    """VP8L → (nb, h, w) with the deterministic collapse matching encode:
+    opaque alpha plane dropped (4→3), grey stored as r=g=b folded (3→1)."""
+    from gdalcubes_spark.webpcodec import decode_vp8l
+    argb = decode_vp8l(b)
+    if (argb[0] == 255).all():
+        rgb = argb[1:]
+        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
+            return rgb[:1]
+        return rgb
+    return argb
+
+
 def encode(a: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return _raw_encode(a)
@@ -204,6 +225,8 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         return _jpeg_encode(a)
     if fmt == "tif":
         return _tif_encode(a)
+    if fmt == "webp":
+        return _webp_encode(a)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -217,6 +240,8 @@ def decode(b: bytes, fmt: str) -> np.ndarray:
         return _jpeg_decode(b)
     if fmt == "tif":
         return _tif_decode(b)
+    if fmt == "webp":
+        return _webp_decode(b)
     raise ValueError(f"unknown format {fmt!r}")
 
 

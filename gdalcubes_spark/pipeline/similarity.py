@@ -180,7 +180,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
     """IVF-flat ANN: coarse centroids from a seeded Lloyd's run on a sample
     (driver-side, tiny), assignments as a column, probe the n_probe nearest
     lists per query. The classic billion-scale layout (partition-by-centroid
-    ⇒ partition pruning does the candidate cut)."""
+    ⇒ partition pruning does the candidate cut).
+
+    Driver-memory bound (same contract as brute_topk's): the training sample
+    is capped at sample_rows vectors (one bounded toPandas) and `queries` is
+    the small side by contract — its probe projection is executor-side, so
+    only the CORPUS is never driver-materialized; keep |queries| to what a
+    driver can hold in flight (≲10⁵ rows) or shard the query set."""
     # Seed sample: md5-bucket filter (deterministic_sample's trick), NOT
     # limit() — limit() takes the first partitions, so on a corpus
     # sorted/clustered by source the centroids would cover one region and
@@ -467,8 +473,10 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
     partition); the exact re-rank joins refine·k·|Q| candidate pairs back to
     the vectors — candidate volume is independent of corpus size. Query
     batches stream through the driver bounded (as brute_topk), each batch
-    O(batch_queries·m·ks) LUT memory. refine=0 returns raw ADC scores
-    (approximate sims) without the re-rank join."""
+    O(batch_queries·m·ks) LUT memory — `queries` is the small side by
+    contract (≲10⁵ rows through toLocalIterator; shard above that).
+    refine=0 returns raw ADC scores (approximate sims) without the re-rank
+    join."""
     C, dim, dsub = _pq_train(embeddings, m, ks, iters, seed, sample_rows, id_col, vec_col)
     coded = pq_encode(embeddings, C, dim, id_col, vec_col)
     nq_keep = max(k * refine, k)
@@ -556,7 +564,9 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     candidate through the codes; the only corpus-wide passes are the two
     mapInPandas projections (assign + encode), both embarrassingly parallel.
     Partition the coded table by `centroid` on a real cluster and the probe
-    join becomes partition-pruned."""
+    join becomes partition-pruned. `queries` is the small side by contract
+    (streamed via toLocalIterator in bounded batches, ≲10⁵ rows; shard the
+    query set above that)."""
     from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
 
     # --- train both quantizers on one md5-bucket sample (layout-independent)

@@ -1,0 +1,998 @@
+"""Lossless WebP (VP8L) encoder/decoder in pure Python/numpy — no libwebp.
+
+Implemented from the PUBLIC spec: RFC 9649 ("WebP Image Format", the VP8L
+lossless bitstream, §3-4) plus the RIFF container layout. Closes the round-3
+seam where fmt='webp' raised NotImplementedError: the reference scan decodes
+anything GDAL can read (image_collection_cube.cpp:446-552), and a real
+inventory's `fmt` mix includes webp.
+
+Scope:
+- decode: the full VP8L lossless feature set this encoder and common
+  cwebp -lossless output use — simple + normal prefix codes (incl. the
+  16/17/18 run-length code-length codes and the max_symbol short form),
+  color cache, LZ77 backward references with the 120-entry short-distance
+  plane map, meta prefix (Huffman image) groups, and all four transforms
+  (predictor with its 14 modes, cross-color, subtract-green, color indexing
+  incl. sub-byte pixel bundling). Lossy VP8 chunks raise NotImplementedError
+  (DCT lossy webp needs libwebp).
+- encode: spec-valid lossless streams — subtract-green or palette
+  (color-indexing, with bundling) transforms chosen automatically, greedy
+  hash-chain LZ77, optional color cache, canonical length-limited prefix
+  codes with zero-run (17/18) and repeat (16) code-length compression.
+
+Wire-format notes: bit packing is LSB-first within bytes; prefix-code BITS
+go most-significant-first (DEFLATE-style canonical codes, written reversed
+through the LSB writer), per §3.7. Verified by roundtrip + hand-built
+vectors; a libwebp parity test runs wherever Pillow-with-webp exists
+(tests/test_webpcodec.py, skipif-guarded like the jpeg seam test).
+
+Performance shape: entropy coding is per-symbol Python (like jpegcodec —
+fine inside Arrow-batched UDFs, ~10-50x slower than libwebp per byte); the
+transforms and pixel reconstruction are numpy where order allows. The
+swap-in seam for a production cluster is codecs.decode, same as jpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# RFC 9649 §4.2.2: distance codes 1..120 name (x, y) offsets in the local
+# window; larger codes are literal distances minus 120.
+_DIST_MAP: List[Tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+_DIST_INV = {xy: i + 1 for i, xy in enumerate(_DIST_MAP)}
+
+# §3.7.4 order in which code-length-code lengths are transmitted
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+_CACHE_MUL = 0x1E35A7BD
+
+
+# ------------------------------------------------------------------ bit io
+
+class _RL:  # LSB-first reader
+    __slots__ = ("d", "pos", "buf", "nbits")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.buf |= b << self.nbits
+            self.nbits += 8
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nbits -= n
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class _WL:  # LSB-first writer
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int):
+        self.buf |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, length: int):
+        """Prefix-code bits go MSB-first onto the LSB-first stream (§3.7)."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# ----------------------------------------------------------- prefix codes
+
+class _Prefix:
+    """Canonical prefix code: decode walks MSB-accumulated bits against
+    per-length first-code ranges; encode holds (code, len) per symbol."""
+
+    def __init__(self, lengths: List[int]):
+        self.lengths = lengths
+        max_len = max(lengths) if lengths else 0
+        count = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                count[ln] += 1
+        self.count = count
+        first = [0] * (max_len + 2)
+        code = 0
+        offsets = [0] * (max_len + 1)
+        total = 0
+        for ln in range(1, max_len + 1):
+            code = (code + count[ln - 1]) << 1
+            first[ln] = code
+            offsets[ln] = total
+            total += count[ln]
+        self.first = first
+        self.syms = [s for ln in range(1, max_len + 1)
+                     for s, l in enumerate(lengths) if l == ln]
+        self.offsets = offsets
+        self.max_len = max_len
+        # NOTE: a single-symbol code built from LENGTHS (normal form) still
+        # costs 1 bit/symbol; only the simple-header form (single_symbol
+        # classmethod) is the zero-bit shortcut — conflating them was a
+        # 1-bit-per-symbol desync
+        self.single = None
+        # encode table
+        self.codes = {}
+        next_code = dict()
+        code = 0
+        for ln in range(1, max_len + 1):
+            code = (code + count[ln - 1]) << 1
+            next_code[ln] = code
+        for s, ln in enumerate(lengths):
+            if ln:
+                self.codes[s] = (next_code[ln], ln)
+                next_code[ln] += 1
+
+    @classmethod
+    def single_symbol(cls, sym: int, alphabet: int):
+        p = cls.__new__(cls)
+        p.lengths = [0] * alphabet
+        p.single = sym
+        p.max_len = 0
+        p.codes = {sym: (0, 0)}
+        return p
+
+    def read(self, rd: _RL) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | rd.bit()
+            idx = code - self.first[ln]
+            if 0 <= idx < self.count[ln]:
+                return self.syms[self.offsets[ln] + idx]
+        raise ValueError("bad VP8L prefix code")
+
+    def write(self, wr: _WL, sym: int):
+        code, ln = self.codes[sym]
+        if ln:
+            wr.code(code, ln)
+
+
+def _huff_lengths(freqs: List[int], max_len: int = 15) -> List[int]:
+    """Length-limited canonical Huffman lengths from frequencies (classic
+    tree build; frequencies are halved and rebuilt if the depth cap is
+    exceeded — converges because all-equal frequencies give a balanced
+    tree)."""
+    import heapq
+    n = len(freqs)
+    while True:
+        heap = [(f, i, ("leaf", i)) for i, f in enumerate(freqs) if f > 0]
+        if len(heap) == 0:
+            return [0] * n
+        if len(heap) == 1:
+            out = [0] * n
+            out[heap[0][1]] = 1
+            return out
+        heapq.heapify(heap)
+        cnt = n
+        while len(heap) > 1:
+            f1, _, t1 = heapq.heappop(heap)
+            f2, _, t2 = heapq.heappop(heap)
+            heapq.heappush(heap, (f1 + f2, cnt, ("node", t1, t2)))
+            cnt += 1
+        out = [0] * n
+        depth_ok = True
+        stack = [(heap[0][2], 0)]
+        while stack:
+            t, d = stack.pop()
+            if t[0] == "leaf":
+                out[t[1]] = max(d, 1)
+                if d > max_len:
+                    depth_ok = False
+            else:
+                stack.append((t[1], d + 1))
+                stack.append((t[2], d + 1))
+        if depth_ok:
+            return out
+        freqs = [(f + 1) >> 1 if f else 0 for f in freqs]
+
+
+def _encode_code(lengths: List[int]) -> _Prefix:
+    """Encode-side code matching what _write_prefix's wire form decodes to:
+    a single-symbol plane written in the SIMPLE form is a zero-length code
+    (the decoder consumes no bits per symbol), so the encoder must emit
+    none either; a single symbol > 255 goes through the normal form and
+    keeps its 1-bit code."""
+    nz = [s for s, ln in enumerate(lengths) if ln]
+    if len(nz) == 1 and nz[0] <= 255:
+        return _Prefix.single_symbol(nz[0], len(lengths))
+    return _Prefix(lengths)
+
+
+def _read_prefix(rd: _RL, alphabet: int) -> _Prefix:
+    """§3.7.3-4: one prefix code — simple (1-2 symbols) or normal form."""
+    if rd.bit():  # simple
+        num_syms = rd.bit() + 1
+        if rd.bit():  # first symbol is 8 bits
+            s0 = rd.bits(8)
+        else:
+            s0 = rd.bit()
+        if num_syms == 2:
+            s1 = rd.bits(8)
+            lengths = [0] * alphabet
+            lengths[s0] = 1
+            lengths[s1] = 1
+            return _Prefix(lengths)
+        return _Prefix.single_symbol(s0, alphabet)
+    # normal: code-length code first
+    num_cl = 4 + rd.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = rd.bits(3)
+    cl = _Prefix(cl_lengths)
+    if rd.bit():  # max_symbol short form
+        length_nbits = 2 + 2 * rd.bits(3)
+        max_symbol = 2 + rd.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl.read(rd)
+        if code_len < 16:
+            lengths[sym] = code_len
+            sym += 1
+            if code_len:
+                prev = code_len
+        elif code_len == 16:
+            rep = 3 + rd.bits(2)
+            for _ in range(rep):
+                if sym < alphabet:
+                    lengths[sym] = prev
+                    sym += 1
+        elif code_len == 17:
+            sym += 3 + rd.bits(3)
+        else:  # 18
+            sym += 11 + rd.bits(7)
+    return _Prefix(lengths)
+
+
+def _write_prefix(wr: _WL, lengths: List[int]):
+    """Emit a prefix code: simple form when it fits (≤2 symbols, values
+    ≤255), else the normal form with 16/17/18 run compression."""
+    nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
+    if 1 <= len(nz) <= 2 and all(s <= 255 for s, _ in nz):
+        wr.bits(1, 1)  # simple
+        wr.bits(len(nz) - 1, 1)
+        s0 = nz[0][0]
+        if s0 <= 1 and len(nz) == 1:
+            wr.bits(0, 1)
+            wr.bits(s0, 1)
+        else:
+            wr.bits(1, 1)
+            wr.bits(s0, 8)
+        if len(nz) == 2:
+            wr.bits(nz[1][0], 8)
+        return
+    wr.bits(0, 1)  # normal
+    # tokenize lengths: (symbol) | (16, rep) | (17, rep) | (18, rep)
+    toks = []
+    i = 0
+    n = len(lengths)
+    while i < n:
+        v = lengths[i]
+        j = i
+        while j < n and lengths[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                r = min(run, 138)
+                toks.append((18, r - 11))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                toks.append((17, r - 3))
+                run -= r
+            toks.extend([(0, None)] * run)
+        else:
+            toks.append((v, None))
+            run -= 1
+            while run >= 3:
+                r = min(run, 6)
+                toks.append((16, r - 3))
+                run -= r
+            toks.extend([(v, None)] * run)
+        i = j
+    freqs = [0] * 19
+    for t, _ in toks:
+        freqs[t] += 1
+    cl_lengths = _huff_lengths(freqs, max_len=7)
+    cl = _Prefix(cl_lengths)
+    num_cl = max((i + 1 for i, s in enumerate(_CL_ORDER) if cl_lengths[s]),
+                 default=4)
+    num_cl = max(num_cl, 4)
+    wr.bits(num_cl - 4, 4)
+    for i in range(num_cl):
+        wr.bits(cl_lengths[_CL_ORDER[i]], 3)
+    wr.bits(0, 1)  # no max_symbol short form
+    for t, extra in toks:
+        cl.write(wr, t)
+        if t == 16:
+            wr.bits(extra, 2)
+        elif t == 17:
+            wr.bits(extra, 3)
+        elif t == 18:
+            wr.bits(extra, 7)
+
+
+# ------------------------------------------------------------- lz77 plumbing
+
+def _lz_read(code: int, rd: _RL) -> int:
+    """§3.6.2.2 prefix-coded length/distance value."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rd.bits(extra) + 1
+
+
+def _lz_code(v: int) -> Tuple[int, int, int]:
+    """value → (prefix_code, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    vm = v - 1
+    hb = vm.bit_length() - 1
+    extra = hb - 1
+    second = (vm >> extra) & 1
+    code = 2 * hb + second
+    return code, vm & ((1 << extra) - 1), extra
+
+
+def _plane_to_dist(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
+def _dist_to_plane(dist: int, xsize: int) -> int:
+    if xsize > 0:
+        dy, dx = divmod(dist, xsize)
+        if dx > 8:
+            dx -= xsize
+            dy += 1
+        if -8 <= dx <= 7 and 0 <= dy <= 7:
+            code = _DIST_INV.get((dx, dy))
+            if code is not None:
+                return code
+    return dist + 120
+
+
+# --------------------------------------------------------------- transforms
+
+def _predict(mode: int, left: int, top: int, topleft: int, topright: int) -> int:
+    """§4.2.1 predictor modes 0..13 on packed ARGB (per-channel uint8 math)."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _avg2(_avg2(left, topright), top)
+    if mode == 6:
+        return _avg2(left, topleft)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(topleft, top)
+    if mode == 9:
+        return _avg2(top, topright)
+    if mode == 10:
+        return _avg2(_avg2(left, topleft), _avg2(top, topright))
+    if mode == 11:  # Select
+        pl = pt = 0
+        for sh in (24, 16, 8, 0):
+            tl = (topleft >> sh) & 0xFF
+            pl += abs(((top >> sh) & 0xFF) - tl)
+            pt += abs(((left >> sh) & 0xFF) - tl)
+        return left if pl < pt else top
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((topleft >> sh) & 0xFF)
+            out |= max(0, min(255, v)) << sh
+        return out
+    # 13: ClampAddSubtractHalf
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
+        b = (topleft >> sh) & 0xFF
+        v = a + ((a - b) >> 1)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel modulo-256 addition of packed ARGB."""
+    return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+            | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+
+def _sub_px(a: int, b: int) -> int:
+    """Per-channel modulo-256 subtraction of packed ARGB."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= (((a >> sh) - (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _delta(m: int, v: int) -> int:
+    """Cross-color delta: signed multiplier m (int8) applied to signed v."""
+    return ((m if m < 128 else m - 256) * (v if v < 128 else v - 256)) >> 5
+
+
+# ------------------------------------------------------------------ decode
+
+def _decode_pixels(rd: _RL, w: int, h: int, level0: bool):
+    """§3.6: one spatially-coded image → uint32 (h, w) packed ARGB."""
+    cache_bits = rd.bits(4) if rd.bit() else 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    meta = None
+    hbits = 0
+    if level0 and rd.bit():  # meta prefix codes (Huffman image)
+        hbits = rd.bits(3) + 2
+        mw, mh = -(-w // (1 << hbits)), -(-h // (1 << hbits))
+        meta_img = _decode_pixels(rd, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)  # (r<<8)|g
+        n_groups = int(meta.max()) + 1
+    else:
+        n_groups = 1
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        g = _read_prefix(rd, green_alpha)
+        r = _read_prefix(rd, 256)
+        b = _read_prefix(rd, 256)
+        a = _read_prefix(rd, 256)
+        d = _read_prefix(rd, 40)
+        groups.append((g, r, b, a, d))
+
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+    while pos < total:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            gcode = groups[int(meta[y >> hbits, x >> hbits])]
+        else:
+            gcode = groups[0]
+        gp, rp, bp, ap, dp = gcode
+        s = gp.read(rd)
+        if s < 256:  # literal
+            red = rp.read(rd)
+            blue = bp.read(rd)
+            alpha = ap.read(rd)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backref
+            length = _lz_read(s - 256, rd)
+            dcode = dp.read(rd)
+            dist = _plane_to_dist(_lz_read(dcode, rd), w)
+            if dist > pos or pos + length > total:
+                raise ValueError("bad VP8L backward reference")
+            if cache_size:
+                for _ in range(length):
+                    px = int(out[pos - dist])
+                    out[pos] = px
+                    pos += 1
+                    cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            elif dist >= length:
+                out[pos:pos + length] = out[pos - dist:pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    out[pos] = out[pos - dist]
+                    pos += 1
+        else:  # color-cache index
+            px = cache[s - 280]
+            out[pos] = px
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _pred_neighbors(out, y: int, x: int, w: int):
+    """(left, top, topleft, topright) for the predictor transform. Pixels
+    are reconstructed in raster order, so the TR neighbor of the LAST column
+    follows libwebp's contiguous-row convention: one past the top row's end
+    is the current row's first (already reconstructed) pixel."""
+    left = int(out[y, x - 1])
+    top = int(out[y - 1, x])
+    topleft = int(out[y - 1, x - 1])
+    topright = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+    return left, top, topleft, topright
+
+
+def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 0xFF000000  # spec: black with full alpha
+            elif y == 0:
+                pred = int(out[0, x - 1])  # row 0: mode forced to LEFT
+            elif x == 0:
+                pred = int(out[y - 1, 0])  # col 0: mode forced to TOP
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                pred = _predict(mode, *_pred_neighbors(out, y, x, w))
+            out[y, x] = _add_px(int(img[y, x]), pred)
+    return out
+
+
+def _inv_color_transform(img: np.ndarray, cte: np.ndarray, bits: int) -> np.ndarray:
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        crow = cte[y >> bits]
+        for x in range(w):
+            c = int(crow[x >> bits])
+            g2r = c & 0xFF          # stored in blue channel
+            g2b = (c >> 8) & 0xFF   # stored in green channel
+            r2b = (c >> 16) & 0xFF  # stored in red channel
+            px = int(out[y, x])
+            g = (px >> 8) & 0xFF
+            r = (px >> 16) & 0xFF
+            b = px & 0xFF
+            r = (r + _delta(g2r, g)) & 0xFF
+            b = (b + _delta(g2b, g)) & 0xFF
+            b = (b + _delta(r2b, r)) & 0xFF
+            out[y, x] = (px & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """WebP bytes → uint8 (4, h, w) ARGB planes (A, R, G, B order)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + sz]
+            break
+        if tag == b"VP8 ":
+            raise NotImplementedError("lossy VP8 webp needs libwebp (STUB seam)")
+        pos += 8 + sz + (sz & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    rd = _RL(payload[1:])
+    w = rd.bits(14) + 1
+    h = rd.bits(14) + 1
+    rd.bit()  # alpha-is-used hint
+    if rd.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+
+    transforms = []
+    xsize = w
+    while rd.bit():
+        ttype = rd.bits(2)
+        if ttype == 0:  # predictor
+            bits = rd.bits(3) + 2
+            tw, th = -(-xsize // (1 << bits)), -(-h // (1 << bits))
+            modes = (_decode_pixels(rd, tw, th, False) >> 8) & 0xFF
+            transforms.append(("pred", bits, modes))
+        elif ttype == 1:  # cross-color
+            bits = rd.bits(3) + 2
+            tw, th = -(-xsize // (1 << bits)), -(-h // (1 << bits))
+            cte = _decode_pixels(rd, tw, th, False)
+            transforms.append(("color", bits, cte))
+        elif ttype == 2:
+            transforms.append(("subgreen",))
+        else:  # color indexing
+            n_colors = rd.bits(8) + 1
+            pal_deltas = _decode_pixels(rd, n_colors, 1, False)[0]
+            palette = np.zeros(n_colors, dtype=np.uint32)
+            acc = 0
+            for i in range(n_colors):
+                acc = _add_px(acc, int(pal_deltas[i]))
+                palette[i] = acc
+            wb = 0 if n_colors > 16 else 1 if n_colors > 4 else 2 if n_colors > 2 else 3
+            transforms.append(("palette", wb, palette, xsize))
+            xsize = -(-xsize // (1 << wb))
+
+    img = _decode_pixels(rd, xsize, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, wb, palette, full_w = t
+            if wb:
+                idx = (img >> 8) & 0xFF
+                per = 1 << wb
+                bits_pp = 8 >> wb
+                cols = []
+                for k in range(per):
+                    cols.append((idx >> (k * bits_pp)) & ((1 << bits_pp) - 1))
+                wide = np.stack(cols, axis=2).reshape(h, -1)[:, :full_w]
+            else:
+                wide = (img >> 8) & 0xFF
+            over = wide >= len(palette)
+            if over.any():
+                wide = np.where(over, 0, wide)  # spec: out-of-range → black
+                img = palette[wide.astype(np.int64)]
+                img[over] = 0xFF000000
+            else:
+                img = palette[wide.astype(np.int64)]
+            img = img.astype(np.uint32)
+        elif t[0] == "subgreen":
+            img = _inv_subtract_green(img)
+        elif t[0] == "color":
+            img = _inv_color_transform(img, t[2], t[1])
+        else:
+            img = _inv_predictor(img, t[2], t[1])
+
+    return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
+                     (img >> 8) & 0xFF, img & 0xFF]).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encode
+
+def _freqs_and_stream(tokens, cache_size):
+    """Split token stream into per-plane symbol frequency tables."""
+    f_g = [0] * (256 + 24 + cache_size)
+    f_r = [0] * 256
+    f_b = [0] * 256
+    f_a = [0] * 256
+    f_d = [0] * 40
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            f_g[g] += 1
+            f_r[r] += 1
+            f_b[b] += 1
+            f_a[a] += 1
+        elif t[0] == "ref":
+            _, lcode, _, _, dcode, _, _ = t
+            f_g[256 + lcode] += 1
+            f_d[dcode] += 1
+        else:  # cache
+            f_g[280 + t[1]] += 1
+    return f_g, f_r, f_b, f_a, f_d
+
+
+def _tokenize(flat: np.ndarray, xsize: int, cache_bits: int, use_lz77: bool):
+    """Greedy LZ77 + color-cache tokenization of packed ARGB pixels."""
+    n = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    tokens = []
+    prev_pos: dict = {}
+    pix = flat.tolist()
+    pos = 0
+    while pos < n:
+        px = pix[pos]
+        length = 0
+        dist = 0
+        if use_lz77 and pos + 3 <= n:
+            key = (pix[pos], pix[pos + 1], pix[pos + 2]) if pos + 2 < n else None
+            cand = prev_pos.get(key) if key is not None else None
+            if cand is not None and pos - cand <= (1 << 20):
+                d = pos - cand
+                ln = 0
+                mx = min(n - pos, 4096)
+                while ln < mx and pix[pos + ln] == pix[pos - d + ln]:
+                    ln += 1
+                if ln >= 3:
+                    length, dist = ln, d
+        if length:
+            lcode, lbits, lnb = _lz_code(length)
+            plane = _dist_to_plane(dist, xsize)
+            dcode, dbits, dnb = _lz_code(plane)
+            tokens.append(("ref", lcode, lbits, lnb, dcode, dbits, dnb))
+            end = pos + length
+            while pos < end:
+                if pos + 2 < n:
+                    prev_pos[(pix[pos], pix[pos + 1], pix[pos + 2])] = pos
+                if cache_size:
+                    cache[(_CACHE_MUL * pix[pos] & 0xFFFFFFFF) >> (32 - cache_bits)] = pix[pos]
+                pos += 1
+            continue
+        if cache_size:
+            hidx = (_CACHE_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[hidx] == px:
+                tokens.append(("cache", hidx))
+                if pos + 2 < n:
+                    prev_pos[(pix[pos], pix[pos + 1], pix[pos + 2])] = pos
+                pos += 1
+                continue
+            cache[hidx] = px
+        tokens.append(("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                       (px >> 8) & 0xFF, px & 0xFF))
+        if pos + 2 < n:
+            prev_pos[(pix[pos], pix[pos + 1], pix[pos + 2])] = pos
+        pos += 1
+    return tokens, cache_size
+
+
+def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool):
+    """§3.6 spatially-coded image (single prefix group, no meta codes)."""
+    h, w = img.shape
+    flat = img.reshape(-1)
+    tokens, cache_size = _tokenize(flat, w, cache_bits, use_lz77)
+    if cache_bits:
+        wr.bits(1, 1)
+        wr.bits(cache_bits, 4)
+    else:
+        wr.bits(0, 1)
+    # (level-0 callers write the meta-prefix bit themselves; see encode_vp8l)
+    fg, fr, fb, fa, fd = _freqs_and_stream(tokens, cache_size)
+    codes = []
+    for freqs in (fg, fr, fb, fa, fd):
+        lengths = _huff_lengths(freqs)
+        _write_prefix(wr, lengths)
+        codes.append(_encode_code(lengths))
+    gp, rp, bp, ap, dp = codes
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            gp.write(wr, g)
+            rp.write(wr, r)
+            bp.write(wr, b)
+            ap.write(wr, a)
+        elif t[0] == "ref":
+            _, lcode, lbits, lnb, dcode, dbits, dnb = t
+            gp.write(wr, 256 + lcode)
+            if lnb:
+                wr.bits(lbits, lnb)
+            dp.write(wr, dcode)
+            if dnb:
+                wr.bits(dbits, dnb)
+        else:
+            gp.write(wr, 280 + t[1])
+
+
+def _fwd_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) - g) & 0xFF
+    b = ((img & 0xFF) - g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def _fwd_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
+    """Residuals vs _predict over ORIGINAL neighbors (the decoder has the
+    originals reconstructed at those positions, so this mirrors exactly)."""
+    h, w = img.shape
+    res = img.copy()
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(img[0, x - 1])
+            elif x == 0:
+                pred = int(img[y - 1, 0])
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                pred = _predict(mode, *_pred_neighbors(img, y, x, w))
+            res[y, x] = _sub_px(int(img[y, x]), pred)
+    return res
+
+
+def _vdelta(m: int, v: np.ndarray) -> np.ndarray:
+    """_delta vectorized over a uint channel array (signed semantics)."""
+    ms = m - 256 if m >= 128 else m
+    vs = v.astype(np.int64)
+    vs = np.where(vs < 128, vs, vs - 256)
+    return (ms * vs) >> 5
+
+
+def _fwd_color_transform(img: np.ndarray, g2r: int, g2b: int, r2b: int) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (img >> 16) & 0xFF
+    b = img & 0xFF
+    r_enc = (r.astype(np.int64) - _vdelta(g2r, g)) & 0xFF
+    b_enc = (b.astype(np.int64) - _vdelta(r2b, r) - _vdelta(g2b, g)) & 0xFF
+    return ((img & 0xFF00FF00) | (r_enc.astype(np.uint32) << 16)
+            | b_enc.astype(np.uint32))
+
+
+def encode_vp8l(a: np.ndarray, cache_bits: int = 6, use_lz77: bool = True,
+                transform: Optional[str] = "auto") -> bytes:
+    """uint8 (1|3|4, h, w) → lossless WebP bytes.
+
+    transform: 'auto' (palette when ≤256 distinct colors, else
+    subtract-green), 'palette', 'subgreen', or None. Greyscale is stored as
+    r=g=b (subtract-green zeroes the residual planes, so it stays compact);
+    decode_vp8l returns 4 ARGB planes — codecs._webp_decode collapses alpha
+    and grey deterministically."""
+    nb, h, w = a.shape
+    if nb == 1:
+        A = np.full((h, w), 255, np.uint32)
+        R = G = B = a[0].astype(np.uint32)
+    elif nb == 3:
+        A = np.full((h, w), 255, np.uint32)
+        R, G, B = (a[i].astype(np.uint32) for i in range(3))
+    elif nb == 4:
+        A, R, G, B = (a[i].astype(np.uint32) for i in range(4))
+    else:
+        raise ValueError("webp encoder supports 1 (grey), 3 (RGB) or 4 (ARGB) bands")
+    if h > 16384 or w > 16384:
+        raise ValueError("VP8L dimensions are 14-bit (max 16384)")
+    img = (A << 24) | (R << 16) | (G << 8) | B
+
+    wr = _WL()
+    wr.bits(w - 1, 14)
+    wr.bits(h - 1, 14)
+    wr.bits(1 if (nb == 4 and (A != 255).any()) else 0, 1)
+    wr.bits(0, 3)  # version
+
+    colors = np.unique(img)
+    if transform == "auto":
+        transform = "palette" if len(colors) <= 256 else "subgreen"
+    xsize = w
+    if transform == "palette":
+        wr.bits(1, 1)
+        wr.bits(3, 2)
+        wr.bits(len(colors) - 1, 8)
+        # delta-coded palette as a w=n_colors, h=1 sub-image
+        deltas = np.zeros(len(colors), dtype=np.uint32)
+        prev = 0
+        lut = {}
+        for i, c in enumerate(colors.tolist()):
+            deltas[i] = _sub_px(c, prev)
+            prev = c
+            lut[c] = i
+        _encode_pixels(wr, deltas.reshape(1, -1), 0, False)
+        idx = np.vectorize(lut.__getitem__, otypes=[np.uint32])(img)
+        wb = 0 if len(colors) > 16 else 1 if len(colors) > 4 else 2 if len(colors) > 2 else 3
+        if wb:
+            per = 1 << wb
+            bits_pp = 8 >> wb
+            pw = -(-w // per)
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for k in range(per):
+                sl = idx[:, k::per]
+                packed[:, :sl.shape[1]] |= sl << (k * bits_pp)
+            img = 0xFF000000 | (packed << 8)
+            xsize = pw
+        else:
+            img = 0xFF000000 | (idx << 8)
+    elif transform == "subgreen":
+        wr.bits(1, 1)
+        wr.bits(2, 2)
+        img = _fwd_subtract_green(img)
+    elif transform == "predictor":
+        # uniform-mode predictor transform (mode 2 = TOP): residuals mirror
+        # _inv_predictor exactly (same neighbor function on reconstructed ==
+        # original pixels), and the per-tile mode sub-image reuses the main
+        # entropy encoder — this is what keeps the decoder's 14-mode
+        # predictor path exercised by roundtrip tests
+        bits = 4
+        wr.bits(1, 1)
+        wr.bits(0, 2)
+        wr.bits(bits - 2, 3)
+        tw, th = -(-w // (1 << bits)), -(-h // (1 << bits))
+        mode = 2
+        modes_img = np.full((th, tw), np.uint32(0xFF000000 | (mode << 8)), dtype=np.uint32)
+        _encode_pixels(wr, modes_img, 0, False)
+        img = _fwd_predictor(img, np.full((th, tw), mode, np.uint8), bits)
+    elif transform == "color":
+        # uniform cross-color transform with fixed signed multipliers
+        bits = 4
+        g2r, g2b, r2b = 0x12, 0xE8, 0x08
+        wr.bits(1, 1)
+        wr.bits(1, 2)
+        wr.bits(bits - 2, 3)
+        tw, th = -(-w // (1 << bits)), -(-h // (1 << bits))
+        cte_px = np.uint32(0xFF000000 | (r2b << 16) | (g2b << 8) | g2r)
+        _encode_pixels(wr, np.full((th, tw), cte_px, dtype=np.uint32), 0, False)
+        img = _fwd_color_transform(img, g2r, g2b, r2b)
+    wr.bits(0, 1)  # no more transforms
+
+    # level-0 image: cache flag (+bits) is written inside _encode_pixels but
+    # the meta-prefix flag must sit between cache and code groups — write the
+    # pieces here in order instead
+    h2, w2 = img.shape
+    flat = img.reshape(-1)
+    tokens, cache_size = _tokenize(flat, w2, cache_bits, use_lz77)
+    if cache_bits:
+        wr.bits(1, 1)
+        wr.bits(cache_bits, 4)
+    else:
+        wr.bits(0, 1)
+    wr.bits(0, 1)  # no meta prefix codes
+    fg, fr, fb, fa, fd = _freqs_and_stream(tokens, cache_size)
+    codes = []
+    for freqs in (fg, fr, fb, fa, fd):
+        lengths = _huff_lengths(freqs)
+        _write_prefix(wr, lengths)
+        codes.append(_encode_code(lengths))
+    gp, rp, bp, ap, dp = codes
+    for t in tokens:
+        if t[0] == "lit":
+            _, aa, rr, gg, bb = t
+            gp.write(wr, gg)
+            rp.write(wr, rr)
+            bp.write(wr, bb)
+            ap.write(wr, aa)
+        elif t[0] == "ref":
+            _, lcode, lbits, lnb, dcode, dbits, dnb = t
+            gp.write(wr, 256 + lcode)
+            if lnb:
+                wr.bits(lbits, lnb)
+            dp.write(wr, dcode)
+            if dnb:
+                wr.bits(dbits, dnb)
+        else:
+            gp.write(wr, 280 + t[1])
+
+    payload = b"\x2F" + wr.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -56,13 +56,12 @@ class TestCodecs:
         legacy = codecs._JPEG_MAGIC + codecs._raw_encode(a)
         assert np.array_equal(codecs.decode(legacy, "jpeg"), a)
 
-    def test_progressive_jpeg_rejected(self):
-        # minimal stream up to a progressive SOF2 marker
-        import struct as _s
-        b = (b"\xff\xd8" + b"\xff\xc2" + _s.pack(">H", 11)
-             + bytes([8]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-        with pytest.raises(NotImplementedError):
-            codecs.decode(b, "jpeg")
+    def test_progressive_jpeg_decodes(self):
+        # SOF2 is a supported scan input since round 4
+        from gdalcubes_spark.jpegcodec import encode_progressive
+        a = (np.arange(32 * 32) % 256).astype(np.uint8).reshape(1, 32, 32)
+        out = codecs.decode(encode_progressive(a, quality=92), "jpeg")
+        assert out.shape == a.shape
 
     def test_phash_deterministic(self):
         a = (np.arange(64 * 64) % 256).astype(np.uint8).reshape(1, 64, 64)
