@@ -218,6 +218,18 @@ def make_queries(sf: float):
         pairs = cosine_neardup_pairs_bucketed(allv, threshold=0.999)
         return dedup_clusters(allv, pairs, id_col="vec_id").count()
 
+    def codec_decode(spark, sf_dir):
+        """Arrow-batched codec throughput over a mixed-format inventory
+        (png + REAL jpeg + lossless webp + GeoTIFF): the per-image decode
+        CPU that dominates a 100 TB multimodal scan. New row in r4 so the
+        pure-Python codec cost is tracked against future binding swap-ins."""
+        from gdalcubes_spark.pipeline.multimodal import decode_features
+        from gdalcubes_spark.synth import ImageLayout, generate_images
+        lay = ImageLayout(gx=grid, gy=grid, ntime=ntime, tile_w=32, tile_h=32,
+                          nb=3, fmts=("png", "jpeg", "webp", "tif"))
+        imgs = generate_images(spark, max(256, n_images // 4), lay)
+        return decode_features(imgs, resize=(8, 8)).count()
+
     return {
         "scan_zonal": scan_zonal,
         "scan_scaling": scan_scaling,
@@ -229,6 +241,7 @@ def make_queries(sf: float):
         "ann_topk": ann_topk,
         "text_stats": text_stats,
         "semantic_dedup": semantic_dedup,
+        "codec_decode": codec_decode,
     }
 
 

@@ -48,11 +48,24 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     hyperplane_lsh_topk / ivf_topk (the sublinear paths)."""
     from gdalcubes_spark.pipeline.dedup import widen_input
 
-    # widen ONCE, outside the per-batch closure: every query batch scans the
-    # SAME widened corpus subtree, so Spark reuses one exchange instead of
-    # re-shuffling the (wide, vector-bearing) corpus rows per batch — the
-    # repeated repartition was measured at ~2x on small corpora (r3 bench)
-    src = widen_input(embeddings.select(id_col, vec_col))
+    # Widen the corpus ONLY when the per-row matmul is heavy enough to repay
+    # a repartition: work/row ≈ |batch queries|·dim flops, so small query
+    # batches on a small-file corpus (1-2 input splits) finish faster
+    # serialized than shuffled (measured: 0.56 s vs 1.1-1.4 s at sf0.1 with
+    # 100 queries — the r3 ann_topk regression). Large batches × tiny-split
+    # corpora are exactly the case widening fixed for LSH, so gate on the
+    # batch size, not the input size. Widen once; every batch reuses the
+    # same subtree (exchange reuse), never a per-batch reshuffle.
+    src_plain = embeddings.select(id_col, vec_col)
+    src_wide = None
+
+    def _src(nq: int):
+        nonlocal src_wide
+        if nq < 1024:
+            return src_plain
+        if src_wide is None:
+            src_wide = widen_input(src_plain)
+        return src_wide
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def local_topk(batches: Iterable[pd.DataFrame]):
@@ -74,7 +87,7 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 out = pd.DataFrame(rows)
                 yield out[np.isfinite(out["sim"])]
 
-        return src.mapInPandas(local_topk, _PAIR_SCHEMA)
+        return _src(len(qids)).mapInPandas(local_topk, _PAIR_SCHEMA)
 
     local = None
     buf_ids, buf_vecs = [], []
@@ -297,7 +310,16 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
             f"corpus-scale near-dup, or pass max_rows explicitly to override.")
 
     from gdalcubes_spark.pipeline.dedup import widen_input
-    src = widen_input(embeddings.select(id_col, vec_col))  # once; exchange reused per batch
+    src_plain = embeddings.select(id_col, vec_col)
+    src_wide = None
+
+    def _src(nq: int):  # same batch-size gate as brute_topk
+        nonlocal src_wide
+        if nq < 1024:
+            return src_plain
+        if src_wide is None:
+            src_wide = widen_input(src_plain)
+        return src_wide
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def emit(batches: Iterable[pd.DataFrame]):
@@ -313,7 +335,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                 keep = a < b  # dedupe + drop self
                 yield pd.DataFrame(dict(ida=a[keep], idb=b[keep], sim=S[qi, ei][keep]))
 
-        return src.mapInPandas(emit, _NEARDUP_SCHEMA)
+        return _src(len(qids)).mapInPandas(emit, _NEARDUP_SCHEMA)
 
     out = None
     buf_ids, buf_vecs = [], []

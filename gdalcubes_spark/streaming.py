@@ -251,6 +251,81 @@ def streaming_dedup(stream: DataFrame, key_expr: str = "md5(lower(trim(text)))",
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
+                          phash_col: str = "phash", max_hamming: int = 4,
+                          sig_bits: int = 64) -> DataFrame:
+    """Streaming VISUAL near-dup (custom stateful operator): emit (ida, idb,
+    hamming) for every arriving image within `max_hamming` bits of any
+    previously-seen phash — the incremental-ingest twin of the batch
+    hash_near_pairs (pipeline/dedup.py:277).
+
+    Shape: the signature is sliced into bands = max_hamming+1 equal windows;
+    by pigeonhole, any pair within max_hamming Hamming bits agrees EXACTLY on
+    at least one band, so state keyed by (band, band-value) gives complete
+    candidate generation with per-bucket state bounded by bucket occupancy —
+    exactly the batch banded-bucket equi-join, re-expressed as
+    applyInPandasWithState so it runs incrementally and scales horizontally
+    with executors (state partitions on the bucket key).
+
+    Delivery: a pair agreeing on SEVERAL bands fires once per matching band
+    (at-least-once pair delivery); batch consumers distinct() the sink.
+    Expects a long id (cast from numeric) — map string ids to longs
+    upstream (e.g. xxhash64) before calling."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_bands = max_hamming + 1
+    width = -(-sig_bits // n_bands)
+    mask = (1 << width) - 1 if width < 63 else (1 << 62) - 1
+    full = (1 << sig_bits) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("ph"), b * width).bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(n_bands)])
+    keyed = (stream.select(F.col(id_col).cast("long").alias("id"),
+                           F.col(phash_col).cast("long").alias("ph"))
+             .withColumn("_b", F.explode(bands))
+             .select("id", "ph", F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv")))
+
+    out_schema = T.StructType([
+        T.StructField("ida", T.LongType(), False),
+        T.StructField("idb", T.LongType(), False),
+        T.StructField("hamming", T.IntegerType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("phs", T.ArrayType(T.LongType()), False),
+    ])
+
+    def pair_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, phs = (list(v) for v in state.get)
+        else:
+            ids, phs = [], []
+        rows = []
+        for pdf in pdf_iter:
+            for i, p in zip(pdf["id"].tolist(), pdf["ph"].tolist()):
+                for j, q in zip(ids, phs):
+                    if i == j:
+                        continue
+                    hd = ((p ^ q) & full).bit_count()
+                    if hd <= max_hamming:
+                        a, b = (i, j) if i < j else (j, i)
+                        rows.append((a, b, hd))
+                ids.append(i)
+                phs.append(p)
+        state.update((ids, phs))
+        if not rows:
+            return iter(())
+        return iter([pd.DataFrame(rows, columns=["ida", "idb", "hamming"])])
+
+    return (keyed.groupBy("band", "bv")
+            .applyInPandasWithState(pair_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def streaming_events_sessions(stream: DataFrame, watermark: str = "10 minutes",
                               gap: str = "30 minutes") -> DataFrame:
     """Per-user SESSION windows over the event stream (gap-merged ranges,

@@ -135,6 +135,45 @@ class TestStreaming:
         assert sum(1 for i in ids if i >= 100) == 5  # only the 5 new texts
 
 
+class TestStreamingPhashDedup:
+    def _sigs(self, spark, n=120):
+        """md5-derived 60-bit signatures + clones with ≤2 flipped bits (the
+        phash_neardup_md5 driver-query construction)."""
+        d = spark.range(n).select(F.col("id"))
+        h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        base = d.select(F.col("id"), h.alias("phash"))
+        mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 57 AS INT)) | "
+                      "shiftleft(CAST(1 AS BIGINT), CAST((id * 7) % 57 AS INT))")
+        clones = base.filter("id % 3 = 0").select(
+            (F.col("id") + 500000).alias("id"), F.col("phash").bitwiseXOR(mask).alias("phash"))
+        return base.unionByName(clones)
+
+    def test_streaming_matches_batch_pairs(self, spark, tmp_path):
+        """Distinct streamed pairs across MULTIPLE micro-batches == the batch
+        banded-bucket join's pairs (state persists between triggers; pairs
+        can span arrival batches)."""
+        from gdalcubes_spark.pipeline.dedup import hash_near_pairs
+        from gdalcubes_spark.streaming import run_to_memory, streaming_phash_dedup
+        sigs = self._sigs(spark).cache()
+        want = {(r["ida"], r["idb"], r["hamming"])
+                for r in hash_near_pairs(sigs, "id", "phash", max_hamming=4).collect()}
+        assert want, "test data must contain near pairs"
+        src = str(tmp_path / "sig_drops")
+        # originals land first, clones arrive in a LATER micro-batch — every
+        # pair must match against state, not within-batch rows
+        sigs.filter("id < 500000").write.mode("overwrite").parquet(src)
+        sigs.filter("id >= 500000").write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("id long, phash long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_to_memory(streaming_phash_dedup(stream, id_col="id", max_hamming=4,
+                                            sig_bits=60),
+                      "sphash", output_mode="append")
+        got = {(r["ida"], r["idb"], r["hamming"]) for r in
+               spark.sql("SELECT DISTINCT ida, idb, hamming FROM sphash").collect()}
+        assert got == want
+        sigs.unpersist()
+
+
 class TestStreamingScan:
     def test_incremental_scan_matches_batch(self, spark, tmp_path):
         """streaming_scan over two arrival batches == batch raster_cube(mean)

