@@ -287,6 +287,17 @@ def _q_text_winnow(spark, sf_dir):
     return rolling_fingerprints(d)
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-corpus leakage gate): per-doc
+    count of distinct 8-gram hashes shared with the 'benchmark' slice
+    (doc_id % 41 == 0 stands in for the eval set). Benchmark grams
+    broadcast; corpus side is one codegen explode + two combinable
+    groupBys. DuckDB-oracled via identical md5 gram hashes."""
+    from gdalcubes_spark.pipeline.text import ngram_contamination
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(d, d.filter("doc_id % 41 = 0"), n=8)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from gdalcubes_spark.pipeline.dedup import exact_dedup
     return exact_dedup(_docs_with_clones(spark, sf_dir)).select("doc_id", "n_copies")
@@ -828,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": _q_text_winnow,
         "text_ngrams": _q_text_ngrams,
         "text_quality_by_source": _q_text_quality_by_source,
+        "text_decontaminate": _q_text_decontaminate,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1218,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_shards": _curriculum_oracle(),
         "text_ngrams": _text_ngrams_oracle(),
         "text_quality_by_source": _text_quality_by_source_oracle(),
+        "text_decontaminate": _text_decontaminate_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
             , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
             sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
@@ -1339,6 +1352,11 @@ def _text_quality_by_source_oracle() -> str:
                COUNT(*) AS n_docs
         FROM q GROUP BY source
     """
+
+
+def _text_decontaminate_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import ngram_contamination_sql
+    return ngram_contamination_sql(n=8)
 
 
 def _text_ngrams_oracle() -> str:

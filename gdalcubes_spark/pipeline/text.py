@@ -149,6 +149,63 @@ def rolling_fingerprints_sql(col: str = "text", window: int = 8, keep: int = 4,
     """
 
 
+def _doc_gram_hashes(df: DataFrame, n: int, id_col: str, col: str) -> DataFrame:
+    """(id, gh): md5 hash per DISTINCT word n-gram per row — built inside
+    codegen (transform → array_distinct), one output row per (doc, gram)."""
+    words = F.split(F.lower(F.trim(F.col(col))), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.array_distinct(F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n)))))
+    return df.select(F.col(id_col), F.explode(grams).alias("gh"))
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", col: str = "text",
+                        bench_id: str = "doc_id", bench_col: str = "text") -> DataFrame:
+    """Benchmark DECONTAMINATION: for every training document, how many of
+    its distinct word n-grams appear anywhere in the evaluation/benchmark
+    set — the standard leakage gate a training pipeline runs before a corpus
+    ships (n=8..13 word overlap is the common contamination criterion).
+
+    Returns (id, n_grams, n_contaminated, contaminated). 100 TB shape: the
+    benchmark side is small by definition → its distinct gram-hash set
+    BROADCASTS (no shuffle on the corpus for the membership test); the corpus
+    side is one codegen explode + two map-side-combinable groupBys on doc_id.
+    Gram identity is md5 text hashes, so a SQL engine reproduces the result
+    exactly (DuckDB oracle)."""
+    bg = _doc_gram_hashes(bench, n, bench_id, bench_col).select("gh").distinct()
+    dg = _doc_gram_hashes(docs, n, id_col, col)
+    tot = dg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (dg.join(F.broadcast(bg), "gh")
+            .groupBy(id_col).agg(F.count("*").alias("n_contaminated")))
+    return (tot.join(hits, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+                    (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated")))
+
+
+def ngram_contamination_sql(n: int = 8, table: str = "documents",
+                            bench_pred: str = "doc_id % 41 = 0") -> str:
+    """DuckDB rendering of ngram_contamination with the benchmark set being
+    the `bench_pred` slice of the same table (the driver-query shape)."""
+    grams = f"""
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + {n} AS INTEGER)], ' ')) AS gh
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM {table})
+        CROSS JOIN range(0, 100000) t(i)
+        WHERE i <= greatest(len(ws) - {n}, 0)
+    """
+    return f"""
+        WITH dg AS ({grams}),
+        bench AS (SELECT DISTINCT gh FROM dg WHERE {bench_pred}),
+        tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+        hit AS (SELECT dg.doc_id, COUNT(*) AS h FROM dg JOIN bench USING (gh) GROUP BY dg.doc_id)
+        SELECT t.doc_id, t.n_grams, COALESCE(hit.h, 0) AS n_contaminated,
+               COALESCE(hit.h, 0) > 0 AS contaminated
+        FROM tot t LEFT JOIN hit ON hit.doc_id = t.doc_id
+    """
+
+
 def ngram_counts(df: DataFrame, n: int = 2, k: int = 100, col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Top-k word n-grams by DOCUMENT frequency (vocabulary/contamination

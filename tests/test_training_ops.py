@@ -99,6 +99,40 @@ class TestNgramCounts:
         assert got == want
 
 
+class TestNgramContamination:
+    def test_planted_leakage_detected(self, spark):
+        """Docs that embed a full benchmark sentence flag as contaminated;
+        unrelated docs don't; counts match a python set-overlap oracle."""
+        from gdalcubes_spark.pipeline.text import ngram_contamination
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(1, "completely unrelated words " + " ".join(f"w{i}" for i in range(12))),
+                (2, "prefix words " + bench_text + " suffix words here"),
+                (3, bench_text),
+                (4, "another clean doc " + " ".join(f"x{i}" for i in range(12)))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in ngram_contamination(docs, bench, n=8).collect()}
+        assert len(got) == 4
+        assert got[2]["contaminated"] and got[3]["contaminated"]
+        assert not got[1]["contaminated"] and not got[4]["contaminated"]
+        # python oracle for the counts
+        def grams(t, n=8):
+            ws = t.lower().strip().split()
+            return set(" ".join(ws[i:i + n]) for i in range(max(len(ws) - n, 0) + 1))
+        bg = grams(bench_text)
+        for did, text in rows:
+            g = grams(text)
+            assert got[did]["n_grams"] == len(g)
+            assert got[did]["n_contaminated"] == len(g & bg)
+
+    def test_bench_side_is_broadcast(self, spark):
+        from gdalcubes_spark.pipeline.text import ngram_contamination
+        docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+        plan = ngram_contamination(docs, docs, n=4)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # membership test never shuffles the corpus
+
+
 class TestBpeTokenCounts:
     def test_hand_checked_examples(self, spark):
         from gdalcubes_spark.pipeline.text import bpe_token_counts
