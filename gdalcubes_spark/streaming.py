@@ -326,6 +326,98 @@ def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_planes: int = 8, n_tables: int = 12,
+                            seed: int = 42) -> DataFrame:
+    """Streaming SEMANTIC near-dup (custom stateful operator): emit (ida,
+    idb, sim) for every arriving embedding whose cosine with a
+    previously-seen vector is ≥ threshold — the incremental twin of
+    cosine_neardup_pairs_bucketed (pipeline/similarity.py:318).
+
+    Shape: the same hyperplane sign buckets generate candidates (miss prob
+    ≈(1−(1−θ/π)^p)^T, ~2e-9 at defaults for θ at 0.99; exact duplicates and
+    positively-scaled clones collide with probability 1), state keyed by
+    (table, bucket) holds the bucket's (id, unit-vector) list, and the EXACT
+    cosine applies inside the state function — so emitted pairs are
+    exact-verified, never bucket-trusted. A pair colliding in several tables
+    fires once per table (at-least-once delivery, like
+    streaming_phash_dedup); distinct() the sink."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rng = np.random.default_rng(seed)
+    # the embedding dimension is only known from data — draw planes against
+    # a max dim and slice per batch (3 MB closure at the defaults)
+    planes = rng.standard_normal((n_tables, n_planes, 4096))
+
+    keyed_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        T.StructField("tbl", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ])
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            dim = V.shape[1]
+            out = []
+            for t in range(n_tables):
+                sig = (V @ planes[t, :, :dim].T > 0).astype(np.int64)
+                bucket = (sig * (1 << np.arange(n_planes))).sum(axis=1)
+                out.append(pd.DataFrame(dict(id=ids, vec=list(V), tbl=t,
+                                             bucket=bucket.astype("int32"))))
+            yield pd.concat(out)
+
+    keyed = stream.select(F.col(id_col).cast("long").alias(id_col), vec_col) \
+        .mapInPandas(bucketize, keyed_schema)
+
+    out_schema = T.StructType([
+        T.StructField("ida", T.LongType(), False),
+        T.StructField("idb", T.LongType(), False),
+        T.StructField("sim", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+    ])
+
+    def pair_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, vecs = (list(v) for v in state.get)
+        else:
+            ids, vecs = [], []
+        rows = []
+        for pdf in pdf_iter:
+            for i, v in zip(pdf["id"].tolist(), pdf["vec"].tolist()):
+                v = np.asarray(v, dtype="float64")
+                if vecs:
+                    sims = np.asarray(vecs) @ v
+                    for j, s in zip(ids, sims):
+                        if s >= threshold and i != j:
+                            a, b = (i, j) if i < j else (j, i)
+                            rows.append((a, b, round(float(s), 6)))
+                ids.append(int(i))
+                # pure-python floats: numpy scalars don't survive the state
+                # (un)pickler on the JVM side
+                vecs.append(v.tolist())
+        state.update((ids, vecs))
+        if not rows:
+            return iter(())
+        return iter([pd.DataFrame(rows, columns=["ida", "idb", "sim"])])
+
+    return (keyed.groupBy("tbl", "bucket")
+            .applyInPandasWithState(pair_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def streaming_events_sessions(stream: DataFrame, watermark: str = "10 minutes",
                               gap: str = "30 minutes") -> DataFrame:
     """Per-user SESSION windows over the event stream (gap-merged ranges,

@@ -174,6 +174,38 @@ class TestStreamingPhashDedup:
         sigs.unpersist()
 
 
+class TestStreamingEmbedNeardup:
+    def test_streaming_matches_batch_bucketed(self, spark, tmp_path):
+        """Streamed exact-verified pairs across micro-batches == the batch
+        bucketed near-dup (both have recall 1 on scaled clones: identical
+        sign patterns in every table). Clones arrive in a LATER trigger, so
+        every pair matches against state."""
+        from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
+        from gdalcubes_spark.streaming import run_to_memory, streaming_embed_neardup
+        emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+               .filter("vec_id < 150")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        clones = emb.filter("vec_id % 2 = 0").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+        allv = emb.unionByName(clones).cache()
+        want = {(r["ida"], r["idb"]) for r in
+                cosine_neardup_pairs_bucketed(allv, threshold=0.999).collect()}
+        assert want
+        src = str(tmp_path / "emb_drops")
+        emb.write.mode("overwrite").parquet(src)
+        clones.write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_to_memory(streaming_embed_neardup(stream, threshold=0.999),
+                      "semb", output_mode="append")
+        rows = spark.sql("SELECT DISTINCT ida, idb, sim FROM semb").collect()
+        got = {(r["ida"], r["idb"]) for r in rows}
+        assert got == want
+        assert all(r["sim"] >= 0.999 for r in rows)  # exact-verified, never bucket-trusted
+        allv.unpersist()
+
+
 class TestStreamingScan:
     def test_incremental_scan_matches_batch(self, spark, tmp_path):
         """streaming_scan over two arrival batches == batch raster_cube(mean)
