@@ -28,6 +28,31 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
+# Widen the corpus for a driver-streamed query batch ONLY when the per-row
+# matmul is heavy enough to repay a repartition: work/row ≈ nq·dim flops, so
+# batches below this finish faster serialized on a small-split corpus than
+# shuffled (measured 0.56 s vs 1.1-1.4 s at sf0.1 with 100 queries — the r3
+# ann_topk regression).
+_WIDEN_MIN_BATCH = 1024
+
+
+def _batch_gated_widen(src_plain):
+    """Returns src(nq): the plain corpus below _WIDEN_MIN_BATCH queries, one
+    memoized widened subtree above it (every batch reuses the same exchange,
+    never a per-batch reshuffle)."""
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    memo = {}
+
+    def _src(nq: int):
+        if nq < _WIDEN_MIN_BATCH:
+            return src_plain
+        if "wide" not in memo:
+            memo["wide"] = widen_input(src_plain)
+        return memo["wide"]
+
+    return _src
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-30)
@@ -46,26 +71,7 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     disjoint across batches, so one final per-query window merges them.
     For query sets large enough that B corpus scans hurt, route to
     hyperplane_lsh_topk / ivf_topk (the sublinear paths)."""
-    from gdalcubes_spark.pipeline.dedup import widen_input
-
-    # Widen the corpus ONLY when the per-row matmul is heavy enough to repay
-    # a repartition: work/row ≈ |batch queries|·dim flops, so small query
-    # batches on a small-file corpus (1-2 input splits) finish faster
-    # serialized than shuffled (measured: 0.56 s vs 1.1-1.4 s at sf0.1 with
-    # 100 queries — the r3 ann_topk regression). Large batches × tiny-split
-    # corpora are exactly the case widening fixed for LSH, so gate on the
-    # batch size, not the input size. Widen once; every batch reuses the
-    # same subtree (exchange reuse), never a per-batch reshuffle.
-    src_plain = embeddings.select(id_col, vec_col)
-    src_wide = None
-
-    def _src(nq: int):
-        nonlocal src_wide
-        if nq < 1024:
-            return src_plain
-        if src_wide is None:
-            src_wide = widen_input(src_plain)
-        return src_wide
+    _src = _batch_gated_widen(embeddings.select(id_col, vec_col))
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def local_topk(batches: Iterable[pd.DataFrame]):
@@ -206,31 +212,34 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids:
     # recall silently degrades. The hash filter is uniform over ROWS
     # regardless of layout; orderBy(_hb)+limit is a TakeOrdered (no full
     # sort) that makes the draw exact-size and partitioning-independent.
-    from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
-    n_total = embeddings.count()
-    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
-    sample = (embeddings.select(F.col(id_col), F.col(vec_col))
-              .withColumn("_hb", _hash_bucket(id_col))
-              .filter(F.col("_hb") < int(frac * _BUCKETS))
-              .orderBy("_hb", id_col).limit(sample_rows)
-              .select(vec_col).toPandas())
-    X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    for _ in range(iters):
-        a = np.argmax(X @ C.T, axis=1)
-        for j in range(C.shape[0]):
-            m = X[a == j]
-            if len(m):
-                C[j] = m.mean(axis=0)
-        C = _norm_rows(C)
     if train_full_corpus:
-        # refine over ALL vectors with the distributed Lloyd's pass — the
-        # per-iteration shuffle is k·dim partials per partition, corpus-size
-        # independent (pipeline/clustering.py)
+        # ALL vectors through the distributed Lloyd's pass (seeds itself
+        # from its own md5-bucket sample) — the per-iteration shuffle is
+        # k·dim partials per partition, corpus-size independent
+        # (pipeline/clustering.py); the driver-side sampled training below
+        # would be dead work, so skip it entirely
         from gdalcubes_spark.pipeline.clustering import distributed_kmeans
         C = distributed_kmeans(embeddings, k=n_centroids, iters=iters, seed=seed,
                                id_col=id_col, vec_col=vec_col, seed_rows=sample_rows)
+    else:
+        from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+        n_total = embeddings.count()
+        frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+        sample = (embeddings.select(F.col(id_col), F.col(vec_col))
+                  .withColumn("_hb", _hash_bucket(id_col))
+                  .filter(F.col("_hb") < int(frac * _BUCKETS))
+                  .orderBy("_hb", id_col).limit(sample_rows)
+                  .select(vec_col).toPandas())
+        X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+        for _ in range(iters):
+            a = np.argmax(X @ C.T, axis=1)
+            for j in range(C.shape[0]):
+                m = X[a == j]
+                if len(m):
+                    C[j] = m.mean(axis=0)
+            C = _norm_rows(C)
 
     assign_schema = T.StructType([T.StructField("vid", T.LongType(), False),
                                   T.StructField("centroid", T.IntegerType(), False)])
@@ -309,17 +318,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
             f"> max_rows={max_rows}. Use cosine_neardup_pairs_bucketed for "
             f"corpus-scale near-dup, or pass max_rows explicitly to override.")
 
-    from gdalcubes_spark.pipeline.dedup import widen_input
-    src_plain = embeddings.select(id_col, vec_col)
-    src_wide = None
-
-    def _src(nq: int):  # same batch-size gate as brute_topk
-        nonlocal src_wide
-        if nq < 1024:
-            return src_plain
-        if src_wide is None:
-            src_wide = widen_input(src_plain)
-        return src_wide
+    _src = _batch_gated_widen(embeddings.select(id_col, vec_col))
 
     def scan_with(qids: np.ndarray, Q: np.ndarray):
         def emit(batches: Iterable[pd.DataFrame]):
@@ -589,33 +588,34 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     join becomes partition-pruned. `queries` is the small side by contract
     (streamed via toLocalIterator in bounded batches, ≲10⁵ rows; shard the
     query set above that)."""
-    from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
-
-    # --- train both quantizers on one md5-bucket sample (layout-independent)
-    n_total = embeddings.count()
-    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
-    sample = (embeddings.select(F.col(id_col), F.col(vec_col))
-              .withColumn("_hb", _hash_bucket(id_col))
-              .filter(F.col("_hb") < int(frac * _BUCKETS))
-              .orderBy("_hb", id_col).limit(sample_rows)
-              .select(vec_col).toPandas())
-    X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    for _ in range(iters):
-        a = np.argmax(X @ C.T, axis=1)
-        for j in range(C.shape[0]):
-            mbr = X[a == j]
-            if len(mbr):
-                C[j] = mbr.mean(axis=0)
-        C = _norm_rows(C)
     if train_full_corpus:
-        # refine the COARSE quantizer over all vectors with the distributed
-        # Lloyd's pass (per-partition partial sums — k·dim floats/partition
-        # through the shuffle, corpus-size independent)
+        # COARSE quantizer over all vectors via the distributed Lloyd's pass
+        # (per-partition partial sums — k·dim floats/partition through the
+        # shuffle, corpus-size independent); it seeds itself, so the
+        # driver-side sampled training below would be dead work
         from gdalcubes_spark.pipeline.clustering import distributed_kmeans
         C = distributed_kmeans(embeddings, k=n_centroids, iters=iters, seed=seed,
                                id_col=id_col, vec_col=vec_col, seed_rows=sample_rows)
+    else:
+        # --- train the coarse quantizer on one md5-bucket sample
+        from gdalcubes_spark.pipeline.sampling import _BUCKETS, _hash_bucket
+        n_total = embeddings.count()
+        frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+        sample = (embeddings.select(F.col(id_col), F.col(vec_col))
+                  .withColumn("_hb", _hash_bucket(id_col))
+                  .filter(F.col("_hb") < int(frac * _BUCKETS))
+                  .orderBy("_hb", id_col).limit(sample_rows)
+                  .select(vec_col).toPandas())
+        X = _norm_rows(np.stack(sample[vec_col].to_numpy()).astype("float64"))
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+        for _ in range(iters):
+            a = np.argmax(X @ C.T, axis=1)
+            for j in range(C.shape[0]):
+                mbr = X[a == j]
+                if len(mbr):
+                    C[j] = mbr.mean(axis=0)
+            C = _norm_rows(C)
     CB, dim, dsub = _pq_train(embeddings, m, ks, iters, seed, sample_rows, id_col, vec_col)
     cn2 = 0.5 * (CB * CB).sum(axis=2)
 

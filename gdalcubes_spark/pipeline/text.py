@@ -187,7 +187,12 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
 def ngram_contamination_sql(n: int = 8, table: str = "documents",
                             bench_pred: str = "doc_id % 41 = 0") -> str:
     """DuckDB rendering of ngram_contamination with the benchmark set being
-    the `bench_pred` slice of the same table (the driver-query shape)."""
+    the `bench_pred` slice of the same table (the driver-query shape).
+
+    CAVEAT (shared with the sibling gram oracles): the range(0, 100000)
+    cross join caps gram positions at 100k words/document — the Spark
+    implementation is unbounded, so the oracle only matches corpora whose
+    documents stay under that (the synthetic tables are ~200 words/doc)."""
     grams = f"""
         SELECT DISTINCT doc_id,
                md5(array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + {n} AS INTEGER)], ' ')) AS gh

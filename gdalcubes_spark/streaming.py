@@ -368,6 +368,11 @@ def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             dim = V.shape[1]
+            if dim > planes.shape[2]:
+                raise ValueError(
+                    f"embedding dim {dim} exceeds the {planes.shape[2]} the "
+                    "hyperplanes were drawn for — raise the max in "
+                    "streaming_embed_neardup")
             out = []
             for t in range(n_tables):
                 sig = (V @ planes[t, :, :dim].T > 0).astype(np.int64)

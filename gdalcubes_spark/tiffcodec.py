@@ -156,11 +156,23 @@ def _downsample2(a: np.ndarray, nodata: Optional[float]) -> np.ndarray:
     return m.astype(a.dtype)
 
 
+# Geocentric / 3D CRS codes inside the 4xxx range that must NOT be labeled
+# as 2D geographic (GTModelType=2 + GeographicTypeGeoKey). This is a
+# deny-set of the realizations users actually hit (WGS84, ETRS89, the ITRF
+# yearly realizations); a complete classification needs an EPSG database —
+# see the docstring caveat in encode_geotiff.
+_NON_2D_4XXX = frozenset(
+    [4978, 4979,            # WGS84 geocentric / 3D
+     4936, 4937,            # ETRS89 geocentric / 3D
+     4896, 4897, 4919, 4920]  # ITRF2005/ITRF2008-family geocentric
+    + list(range(4910, 4919)))  # ITRF88..ITRF2000 geocentric
+
+
 def _geokeys(epsg: int) -> List[int]:
-    # 2-D geographic CRS live in 4000-4999, but that range also holds the
-    # geocentric/3D WGS84 codes — those would be mislabeled as geographic
-    # (GTModelType=2 + GeographicTypeGeoKey), so refuse them outright
-    if epsg in (4978, 4979):
+    # 2-D geographic CRS live in 4000-4999, but that range also holds
+    # geocentric/3D codes — refuse the known ones outright (the writer
+    # cannot express a geocentric CRS in these two GeoKeys)
+    if epsg in _NON_2D_4XXX:
         raise ValueError(f"EPSG:{epsg} is a geocentric/3D CRS; encode_geotiff "
                          "supports 2D geographic (4xxx) and projected codes only")
     geographic = 4000 <= epsg < 5000
@@ -199,6 +211,11 @@ def encode_geotiff(
     `bigtiff`: True forces the BigTIFF (version 43, 64-bit offset) layout;
     None (default) auto-upgrades when the classic u32 layout would overflow
     4 GiB — so arbitrarily large slices always encode.
+
+    CRS caveat: `epsg` in 4000-4999 is labeled 2D geographic except the
+    known geocentric/3D realizations in _NON_2D_4XXX (rejected). Exotic
+    4xxx codes outside that deny-set cannot be auto-classified without an
+    EPSG database — pass 2D geographic or projected codes only.
     """
     a = np.asarray(a)
     if a.ndim == 2:

@@ -682,9 +682,10 @@ def decode_vp8l(data: bytes) -> np.ndarray:
                 wide = (img >> 8) & 0xFF
             over = wide >= len(palette)
             if over.any():
-                wide = np.where(over, 0, wide)  # spec: out-of-range → black
+                # RFC 9649: out-of-range index → TRANSPARENT black (0x00000000)
+                wide = np.where(over, 0, wide)
                 img = palette[wide.astype(np.int64)]
-                img[over] = 0xFF000000
+                img[over] = 0x00000000
             else:
                 img = palette[wide.astype(np.int64)]
             img = img.astype(np.uint32)
@@ -740,7 +741,10 @@ def _tokenize(flat: np.ndarray, xsize: int, cache_bits: int, use_lz77: bool):
         if use_lz77 and pos + 3 <= n:
             key = (pix[pos], pix[pos + 1], pix[pos + 2]) if pos + 2 < n else None
             cand = prev_pos.get(key) if key is not None else None
-            if cand is not None and pos - cand <= (1 << 20):
+            # window cap: the 40-code distance alphabet tops out at
+            # _lz_read(39) = 2^20, and plane mapping ADDS 120 to literal
+            # distances — libwebp's WINDOW_SIZE, (1<<20) - 120
+            if cand is not None and pos - cand <= (1 << 20) - 120:
                 d = pos - cand
                 ln = 0
                 mx = min(n - pos, 4096)
@@ -778,8 +782,11 @@ def _tokenize(flat: np.ndarray, xsize: int, cache_bits: int, use_lz77: bool):
     return tokens, cache_size
 
 
-def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool):
-    """§3.6 spatially-coded image (single prefix group, no meta codes)."""
+def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool,
+                   level0: bool = False):
+    """§3.6 spatially-coded image (single prefix group; level0 additionally
+    carries the meta-prefix-codes flag between the cache header and the code
+    groups — sub-images don't have that bit)."""
     h, w = img.shape
     flat = img.reshape(-1)
     tokens, cache_size = _tokenize(flat, w, cache_bits, use_lz77)
@@ -788,7 +795,8 @@ def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool):
         wr.bits(cache_bits, 4)
     else:
         wr.bits(0, 1)
-    # (level-0 callers write the meta-prefix bit themselves; see encode_vp8l)
+    if level0:
+        wr.bits(0, 1)  # no meta prefix codes
     fg, fr, fb, fa, fd = _freqs_and_stream(tokens, cache_size)
     codes = []
     for freqs in (fg, fr, fb, fa, fd):
@@ -964,6 +972,10 @@ def encode_vp8l(a: np.ndarray, cache_bits: int = 6, use_lz77: bool = True,
     colors = np.unique(img)
     if transform == "auto":
         transform = "palette" if len(colors) <= 256 else "predictor"
+    if transform == "palette" and len(colors) > 256:
+        raise ValueError(
+            f"color-indexing holds at most 256 colors; image has {len(colors)} "
+            "(use transform='auto'/'predictor'/'subgreen')")
     xsize = w
     if transform == "palette":
         wr.bits(1, 1)
@@ -1024,42 +1036,7 @@ def encode_vp8l(a: np.ndarray, cache_bits: int = 6, use_lz77: bool = True,
         img = _fwd_color_transform(img, g2r, g2b, r2b)
     wr.bits(0, 1)  # no more transforms
 
-    # level-0 image: cache flag (+bits) is written inside _encode_pixels but
-    # the meta-prefix flag must sit between cache and code groups — write the
-    # pieces here in order instead
-    h2, w2 = img.shape
-    flat = img.reshape(-1)
-    tokens, cache_size = _tokenize(flat, w2, cache_bits, use_lz77)
-    if cache_bits:
-        wr.bits(1, 1)
-        wr.bits(cache_bits, 4)
-    else:
-        wr.bits(0, 1)
-    wr.bits(0, 1)  # no meta prefix codes
-    fg, fr, fb, fa, fd = _freqs_and_stream(tokens, cache_size)
-    codes = []
-    for freqs in (fg, fr, fb, fa, fd):
-        lengths = _huff_lengths(freqs)
-        _write_prefix(wr, lengths)
-        codes.append(_encode_code(lengths))
-    gp, rp, bp, ap, dp = codes
-    for t in tokens:
-        if t[0] == "lit":
-            _, aa, rr, gg, bb = t
-            gp.write(wr, gg)
-            rp.write(wr, rr)
-            bp.write(wr, bb)
-            ap.write(wr, aa)
-        elif t[0] == "ref":
-            _, lcode, lbits, lnb, dcode, dbits, dnb = t
-            gp.write(wr, 256 + lcode)
-            if lnb:
-                wr.bits(lbits, lnb)
-            dp.write(wr, dcode)
-            if dnb:
-                wr.bits(dbits, dnb)
-        else:
-            gp.write(wr, 280 + t[1])
+    _encode_pixels(wr, img, cache_bits, use_lz77, level0=True)
 
     payload = b"\x2F" + wr.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
