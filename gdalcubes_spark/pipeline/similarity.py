@@ -569,25 +569,16 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
             .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim")))
 
 
-def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-               n_centroids: int = 16, n_probe: int = 4, m: int = 8, ks: int = 64,
-               iters: int = 6, seed: int = 11, refine: int = 4,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True, sample_rows: int = 4096,
-               train_full_corpus: bool = False) -> DataFrame:
-    """IVF+PQ — the billion-scale production layout: coarse centroids prune
-    the corpus to n_probe inverted lists per query, PQ codes (m bytes/vector)
-    score the surviving candidates by asymmetric distance, and the top
-    refine·k re-rank exactly with the JVM zip_with dot product.
-
-    Scale shape: the per-query work is O(|probed lists| · m) byte lookups —
-    independent of corpus size through the list pruning AND 32× lighter per
-    candidate through the codes; the only corpus-wide passes are the two
-    mapInPandas projections (assign + encode), both embarrassingly parallel.
-    Partition the coded table by `centroid` on a real cluster and the probe
-    join becomes partition-pruned. `queries` is the small side by contract
-    (streamed via toLocalIterator in bounded batches, ≲10⁵ rows; shard the
-    query set above that)."""
+def ivfpq_encode(embeddings: DataFrame, n_centroids: int = 16, m: int = 8,
+                 ks: int = 64, iters: int = 6, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 sample_rows: int = 4096, train_full_corpus: bool = False):
+    """Train both IVF-PQ quantizers and produce the CODED TABLE — (vid,
+    centroid, codes) in ONE corpus pass. Returns (coded_df, C, CB, dim,
+    dsub). Persist `coded_df.write.partitionBy("centroid")` and the probe
+    join over a centroid filter becomes partition-pruned at the FileScan
+    (tests/test_round4_fixes.py pins the PartitionFilters); the quantizer
+    arrays are a few hundred KB — ship them with the job."""
     if train_full_corpus:
         # COARSE quantizer over all vectors via the distributed Lloyd's pass
         # (per-partition partial sums — k·dim floats/partition through the
@@ -644,6 +635,33 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     from gdalcubes_spark.pipeline.dedup import widen_input
     coded = widen_input(embeddings.select(id_col, vec_col)).mapInPandas(assign_encode, coded_schema)
+    return coded, C, CB, dim, dsub
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 8, ks: int = 64,
+               iters: int = 6, seed: int = 11, refine: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = True, sample_rows: int = 4096,
+               train_full_corpus: bool = False) -> DataFrame:
+    """IVF+PQ — the billion-scale production layout: coarse centroids prune
+    the corpus to n_probe inverted lists per query, PQ codes (m bytes/vector)
+    score the surviving candidates by asymmetric distance, and the top
+    refine·k re-rank exactly with the JVM zip_with dot product.
+
+    Scale shape: the per-query work is O(|probed lists| · m) byte lookups —
+    independent of corpus size through the list pruning AND 32× lighter per
+    candidate through the codes; the only corpus-wide passes are the two
+    mapInPandas projections (assign + encode, fused in ivfpq_encode), both
+    embarrassingly parallel. Persist the coded table partitioned by
+    `centroid` (ivfpq_encode) and the probe join becomes partition-pruned.
+    `queries` is the small side by contract (streamed via toLocalIterator in
+    bounded batches, ≲10⁵ rows; shard the query set above that)."""
+    coded, C, CB, dim, dsub = ivfpq_encode(
+        embeddings, n_centroids=n_centroids, m=m, ks=ks, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, sample_rows=sample_rows,
+        train_full_corpus=train_full_corpus)
+    cn2 = 0.5 * (CB * CB).sum(axis=2)
 
     # --- query side: probes + ADC LUT rows, executor-side
     q_schema = T.StructType([
