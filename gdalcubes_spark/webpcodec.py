@@ -149,6 +149,7 @@ class _Prefix:
                      for s, l in enumerate(lengths) if l == ln]
         self.offsets = offsets
         self.max_len = max_len
+        self._lut = None  # lazy 15-bit decode table (see _build_lut)
         # NOTE: a single-symbol code built from LENGTHS (normal form) still
         # costs 1 bit/symbol; only the simple-header form (single_symbol
         # classmethod) is the zero-bit shortcut — conflating them was a
@@ -173,18 +174,48 @@ class _Prefix:
         p.single = sym
         p.max_len = 0
         p.codes = {sym: (0, 0)}
+        p._lut = None
         return p
+
+    def _build_lut(self):
+        """15-bit LSB-first decode table (the DEFLATE layout): entry j holds
+        the symbol whose REVERSED canonical code matches j's low bits. One
+        table lookup replaces the per-bit canonical walk — the same
+        inline-the-hot-loop lesson as jpegcodec (per-symbol method/bit calls
+        dominated decode wall; VP8L spends ~4 symbol reads per pixel)."""
+        size = 1 << self.max_len  # small codes get small tables (build cost
+        sym = np.zeros(size, np.int16)  # dominated tiny-image decode at 2^15)
+        ln = np.zeros(size, np.int8)
+        for s, l in enumerate(self.lengths):
+            if l:
+                code, _ = self.codes[s]
+                rev = int(format(code, f"0{l}b")[::-1], 2)
+                idxs = np.arange(rev, size, 1 << l)
+                sym[idxs] = s
+                ln[idxs] = l
+        self._lut = (sym.tolist(), ln.tolist(), size - 1)
+        return self._lut
 
     def read(self, rd: _RL) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | rd.bit()
-            idx = code - self.first[ln]
-            if 0 <= idx < self.count[ln]:
-                return self.syms[self.offsets[ln] + idx]
-        raise ValueError("bad VP8L prefix code")
+        sym_l, ln_l, mask = self._lut or self._build_lut()
+        if rd.nbits < 15:
+            d, pos, n = rd.d, rd.pos, rd.nbits
+            buf = rd.buf
+            dlen = len(d)
+            while n < 15:
+                buf |= (d[pos] if pos < dlen else 0) << n
+                pos += 1
+                n += 8
+            rd.d, rd.pos, rd.nbits, rd.buf = d, pos, n, buf
+        idx = rd.buf & mask
+        length = ln_l[idx]
+        if length == 0:
+            raise ValueError("bad VP8L prefix code")
+        rd.buf >>= length
+        rd.nbits -= length
+        return sym_l[idx]
 
     def write(self, wr: _WL, sym: int):
         code, ln = self.codes[sym]
@@ -507,38 +538,144 @@ def _decode_pixels(rd: _RL, w: int, h: int, level0: bool):
         d = _read_prefix(rd, 40)
         groups.append((g, r, b, a, d))
 
-    out = np.zeros(w * h, dtype=np.uint32)
+    # HOT LOOP — inlined with local-variable bit state and per-plane 15-bit
+    # LUTs (python lists), the jpegcodec lesson: per-symbol method calls and
+    # per-bit canonical walks dominated decode wall (~4 symbol reads/pixel).
+    # (None, None, sym) marks a zero-bit simple single-symbol code.
+    def tabs(p):
+        if p.single is not None:
+            return (None, None, p.single, 0)
+        s_l, l_l, mask = p._lut or p._build_lut()
+        return (s_l, l_l, None, mask)
+
+    gtabs = [tuple(tabs(c) for c in grp) for grp in groups]
+    meta_l = meta.tolist() if meta is not None else None
+
+    out = [0] * (w * h)
     pos = 0
     total = w * h
+    d = rd.d
+    dlen = len(d)
+    bpos = rd.pos
+    buf = rd.buf
+    nbits = rd.nbits
+    g5 = gtabs[0]
+    shift = 32 - cache_bits if cache_bits else 0
     while pos < total:
-        if meta is not None:
+        if meta_l is not None:
             y, x = divmod(pos, w)
-            gcode = groups[int(meta[y >> hbits, x >> hbits])]
+            g5 = gtabs[meta_l[y >> hbits][x >> hbits]]
+        (gs, gl, gv, gm), (rs, rl, rv, rm), (bs, bl, bv, bm), (as_, al, av, am), (ds, dl_, dv, dm) = g5
+        # --- green symbol
+        if gv is not None:
+            s = gv
         else:
-            gcode = groups[0]
-        gp, rp, bp, ap, dp = gcode
-        s = gp.read(rd)
-        if s < 256:  # literal
-            red = rp.read(rd)
-            blue = bp.read(rd)
-            alpha = ap.read(rd)
+            while nbits < 15:
+                buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                bpos += 1
+                nbits += 8
+            idx = buf & gm
+            ln = gl[idx]
+            if ln == 0:
+                raise ValueError("bad VP8L prefix code")
+            buf >>= ln
+            nbits -= ln
+            s = gs[idx]
+        if s < 256:  # literal: red, blue, alpha symbols follow
+            if rv is not None:
+                red = rv
+            else:
+                while nbits < 15:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                idx = buf & rm
+                ln = rl[idx]
+                if ln == 0:
+                    raise ValueError("bad VP8L prefix code")
+                buf >>= ln
+                nbits -= ln
+                red = rs[idx]
+            if bv is not None:
+                blue = bv
+            else:
+                while nbits < 15:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                idx = buf & bm
+                ln = bl[idx]
+                if ln == 0:
+                    raise ValueError("bad VP8L prefix code")
+                buf >>= ln
+                nbits -= ln
+                blue = bs[idx]
+            if av is not None:
+                alpha = av
+            else:
+                while nbits < 15:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                idx = buf & am
+                ln = al[idx]
+                if ln == 0:
+                    raise ValueError("bad VP8L prefix code")
+                buf >>= ln
+                nbits -= ln
+                alpha = as_[idx]
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
             if cache_size:
-                cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> shift] = px
         elif s < 280:  # LZ77 backref
-            length = _lz_read(s - 256, rd)
-            dcode = dp.read(rd)
-            dist = _plane_to_dist(_lz_read(dcode, rd), w)
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                while nbits < extra:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                length = ((2 + (code & 1)) << extra) + (buf & ((1 << extra) - 1)) + 1
+                buf >>= extra
+                nbits -= extra
+            if dv is not None:
+                dcode = dv
+            else:
+                while nbits < 15:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                idx = buf & dm
+                ln = dl_[idx]
+                if ln == 0:
+                    raise ValueError("bad VP8L prefix code")
+                buf >>= ln
+                nbits -= ln
+                dcode = ds[idx]
+            if dcode < 4:
+                dval = dcode + 1
+            else:
+                extra = (dcode - 2) >> 1
+                while nbits < extra:
+                    buf |= (d[bpos] if bpos < dlen else 0) << nbits
+                    bpos += 1
+                    nbits += 8
+                dval = ((2 + (dcode & 1)) << extra) + (buf & ((1 << extra) - 1)) + 1
+                buf >>= extra
+                nbits -= extra
+            dist = _plane_to_dist(dval, w)
             if dist > pos or pos + length > total:
                 raise ValueError("bad VP8L backward reference")
             if cache_size:
                 for _ in range(length):
-                    px = int(out[pos - dist])
+                    px = out[pos - dist]
                     out[pos] = px
                     pos += 1
-                    cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                    cache[(_CACHE_MUL * px & 0xFFFFFFFF) >> shift] = px
             elif dist >= length:
                 out[pos:pos + length] = out[pos - dist:pos - dist + length]
                 pos += length
@@ -550,7 +687,8 @@ def _decode_pixels(rd: _RL, w: int, h: int, level0: bool):
             px = cache[s - 280]
             out[pos] = px
             pos += 1
-    return out.reshape(h, w)
+    rd.pos, rd.buf, rd.nbits = bpos, buf, nbits  # hand the bit state back
+    return np.asarray(out, dtype=np.uint32).reshape(h, w)
 
 
 def _pred_neighbors(out, y: int, x: int, w: int):
@@ -566,21 +704,94 @@ def _pred_neighbors(out, y: int, x: int, w: int):
 
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
+    """Sequential reconstruction (left-dependent modes chain within a row).
+    HOT LOOP: python-list rows with the predictor arithmetic inlined —
+    numpy scalar indexing + the three helper calls per pixel were ~40% of a
+    256² decode (same lesson as the entropy loop)."""
     h, w = img.shape
-    out = img.copy()
+    res = img.tolist()
+    out = [[0] * w for _ in range(h)]
+    modes_l = modes.tolist()
+    M_HI = 0xFF00FF00
+    M_LO = 0x00FF00FF
     for y in range(h):
-        for x in range(w):
-            if y == 0 and x == 0:
-                pred = 0xFF000000  # spec: black with full alpha
-            elif y == 0:
-                pred = int(out[0, x - 1])  # row 0: mode forced to LEFT
-            elif x == 0:
-                pred = int(out[y - 1, 0])  # col 0: mode forced to TOP
+        rrow = res[y]
+        orow = out[y]
+        if y == 0:
+            pred = 0xFF000000  # (0,0): opaque black
+            v = rrow[0]
+            px = ((((v & M_HI) + (pred & M_HI)) & M_HI)
+                  | (((v & M_LO) + (pred & M_LO)) & M_LO))
+            orow[0] = px
+            for x in range(1, w):  # row 0: forced LEFT
+                v = rrow[x]
+                px = ((((v & M_HI) + (px & M_HI)) & M_HI)
+                      | (((v & M_LO) + (px & M_LO)) & M_LO))
+                orow[x] = px
+            continue
+        prow = out[y - 1]
+        mrow = modes_l[y >> bits]
+        # col 0: forced TOP
+        v = rrow[0]
+        pred = prow[0]
+        left = ((((v & M_HI) + (pred & M_HI)) & M_HI)
+                | (((v & M_LO) + (pred & M_LO)) & M_LO))
+        orow[0] = left
+        for x in range(1, w):
+            mode = mrow[x >> bits]
+            top = prow[x]
+            if mode == 2:
+                pred = top
+            elif mode == 7:
+                pred = (((left ^ top) & 0xFEFEFEFE) >> 1) + (left & top)
+            elif mode == 1:
+                pred = left
+            elif mode == 0:
+                pred = 0xFF000000
             else:
-                mode = int(modes[y >> bits, x >> bits])
-                pred = _predict(mode, *_pred_neighbors(out, y, x, w))
-            out[y, x] = _add_px(int(img[y, x]), pred)
-    return out
+                topleft = prow[x - 1]
+                topright = prow[x + 1] if x + 1 < w else orow[0]
+                if mode == 3:
+                    pred = topright
+                elif mode == 4:
+                    pred = topleft
+                elif mode == 5:
+                    a = (((left ^ topright) & 0xFEFEFEFE) >> 1) + (left & topright)
+                    pred = (((a ^ top) & 0xFEFEFEFE) >> 1) + (a & top)
+                elif mode == 6:
+                    pred = (((left ^ topleft) & 0xFEFEFEFE) >> 1) + (left & topleft)
+                elif mode == 8:
+                    pred = (((topleft ^ top) & 0xFEFEFEFE) >> 1) + (topleft & top)
+                elif mode == 9:
+                    pred = (((top ^ topright) & 0xFEFEFEFE) >> 1) + (top & topright)
+                elif mode == 10:
+                    a = (((left ^ topleft) & 0xFEFEFEFE) >> 1) + (left & topleft)
+                    b = (((top ^ topright) & 0xFEFEFEFE) >> 1) + (top & topright)
+                    pred = (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+                elif mode == 11:
+                    pl = pt = 0
+                    for sh in (24, 16, 8, 0):
+                        tl = (topleft >> sh) & 0xFF
+                        pl += abs(((top >> sh) & 0xFF) - tl)
+                        pt += abs(((left >> sh) & 0xFF) - tl)
+                    pred = left if pl < pt else top
+                elif mode == 12:
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        c = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)
+                             - ((topleft >> sh) & 0xFF))
+                        pred |= (0 if c < 0 else 255 if c > 255 else c) << sh
+                else:  # 13
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        a = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
+                        c = a + ((a - ((topleft >> sh) & 0xFF)) >> 1)
+                        pred |= (0 if c < 0 else 255 if c > 255 else c) << sh
+            v = rrow[x]
+            left = ((((v & M_HI) + (pred & M_HI)) & M_HI)
+                    | (((v & M_LO) + (pred & M_LO)) & M_LO))
+            orow[x] = left
+    return np.asarray(out, dtype=np.uint32)
 
 
 def _inv_color_transform(img: np.ndarray, cte: np.ndarray, bits: int) -> np.ndarray:
