@@ -166,6 +166,11 @@ class _Prefix:
             if ln:
                 self.codes[s] = (next_code[ln], ln)
                 next_code[ln] += 1
+        # bit-REVERSED codes: writing the canonical code MSB-first through
+        # the LSB-first writer equals ONE bits(rev, len) call — the per-bit
+        # wr.code loop was the encode hot spot
+        self.rev = {s: (int(format(c, f"0{l}b")[::-1], 2), l)
+                    for s, (c, l) in self.codes.items()}
 
     @classmethod
     def single_symbol(cls, sym: int, alphabet: int):
@@ -174,6 +179,7 @@ class _Prefix:
         p.single = sym
         p.max_len = 0
         p.codes = {sym: (0, 0)}
+        p.rev = {sym: (0, 0)}
         p._lut = None
         return p
 
@@ -218,9 +224,9 @@ class _Prefix:
         return sym_l[idx]
 
     def write(self, wr: _WL, sym: int):
-        code, ln = self.codes[sym]
+        rev, ln = self.rev[sym]
         if ln:
-            wr.code(code, ln)
+            wr.bits(rev, ln)
 
 
 def _huff_lengths(freqs: List[int], max_len: int = 15) -> List[int]:
@@ -1014,24 +1020,53 @@ def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool,
         lengths = _huff_lengths(freqs)
         _write_prefix(wr, lengths)
         codes.append(_encode_code(lengths))
-    gp, rp, bp, ap, dp = codes
+    # HOT LOOP: inlined emission with local writer state — per-symbol
+    # wr.bits/write method calls were the encode wall (same lesson as the
+    # decoder); zero-length rev entries (simple single-symbol codes) are
+    # harmless no-op shifts
+    grev, rrev, brev, arev, drev = (c.rev for c in codes)
+    emit = wr.out
+    buf = wr.buf
+    nbits = wr.nbits
     for t in tokens:
         if t[0] == "lit":
             _, a, r, g, b = t
-            gp.write(wr, g)
-            rp.write(wr, r)
-            bp.write(wr, b)
-            ap.write(wr, a)
+            rv, ln = grev[g]
+            buf |= rv << nbits
+            nbits += ln
+            rv, ln = rrev[r]
+            buf |= rv << nbits
+            nbits += ln
+            rv, ln = brev[b]
+            buf |= rv << nbits
+            nbits += ln
+            rv, ln = arev[a]
+            buf |= rv << nbits
+            nbits += ln
         elif t[0] == "ref":
             _, lcode, lbits, lnb, dcode, dbits, dnb = t
-            gp.write(wr, 256 + lcode)
+            rv, ln = grev[256 + lcode]
+            buf |= rv << nbits
+            nbits += ln
             if lnb:
-                wr.bits(lbits, lnb)
-            dp.write(wr, dcode)
+                buf |= (lbits & ((1 << lnb) - 1)) << nbits
+                nbits += lnb
+            rv, ln = drev[dcode]
+            buf |= rv << nbits
+            nbits += ln
             if dnb:
-                wr.bits(dbits, dnb)
+                buf |= (dbits & ((1 << dnb) - 1)) << nbits
+                nbits += dnb
         else:
-            gp.write(wr, 280 + t[1])
+            rv, ln = grev[280 + t[1]]
+            buf |= rv << nbits
+            nbits += ln
+        while nbits >= 8:
+            emit.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    wr.buf = buf
+    wr.nbits = nbits
 
 
 def _fwd_subtract_green(img: np.ndarray) -> np.ndarray:
