@@ -174,6 +174,48 @@ class TestStreamingPhashDedup:
         sigs.unpersist()
 
 
+class TestStreamingPhashKillRestart:
+    def test_kill_restart_recovers_bucket_state(self, spark, tmp_path):
+        """Exactly-once resume for the banded near-dup operator: run over
+        the originals, STOP, land the clones, restart a FRESH query on the
+        same checkpointLocation. The restarted query must pair the clones
+        against the RECOVERED bucket state (every expected pair spans the
+        kill boundary) and must not re-emit batch-1 work."""
+        from gdalcubes_spark.pipeline.dedup import hash_near_pairs
+        from gdalcubes_spark.streaming import streaming_phash_dedup
+        d = spark.range(80)
+        h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        base = d.select(F.col("id"), h.alias("phash"))
+        mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 57 AS INT))")
+        clones = base.filter("id % 2 = 0").select(
+            (F.col("id") + 500000).alias("id"), F.col("phash").bitwiseXOR(mask).alias("phash"))
+        want = {(r["ida"], r["idb"]) for r in hash_near_pairs(
+            base.unionByName(clones), "id", "phash", max_hamming=4).collect()}
+        assert want
+
+        src = str(tmp_path / "sigs")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        base.write.mode("overwrite").parquet(src)
+
+        def run_once():
+            stream = (spark.readStream.schema("id long, phash long")
+                      .option("maxFilesPerTrigger", 2).parquet(src))
+            out = streaming_phash_dedup(stream, id_col="id", max_hamming=4, sig_bits=60)
+            q = (out.writeStream.outputMode("append")
+                 .foreachBatch(lambda df, _id: df.write.mode("append").parquet(sink))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()  # originals only — no pairs exist yet, but state is built
+        clones.write.mode("append").parquet(src)
+        run_once()  # fresh query, same checkpoint → pairs via recovered state
+        got = {(r["ida"], r["idb"]) for r in
+               spark.read.parquet(sink).select("ida", "idb").distinct().collect()}
+        assert got == want
+
+
 class TestStreamingEmbedNeardup:
     def test_streaming_matches_batch_bucketed(self, spark, tmp_path):
         """Streamed exact-verified pairs across micro-batches == the batch
