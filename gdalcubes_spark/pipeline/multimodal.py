@@ -185,6 +185,8 @@ AUDIO_SCHEMA = T.StructType([
     T.StructField("n_samples", T.LongType(), False),
     T.StructField("rms", T.DoubleType(), False),
     T.StructField("zero_crossings", T.LongType(), False),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), False),
+    T.StructField("dominant_hz", T.DoubleType(), False),
 ])
 
 
@@ -210,9 +212,22 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
                 else:
                     x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
                 zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                # spectral features via rFFT (magnitude-weighted mean and
+                # argmax frequency; DC bin excluded so silence/offset clips
+                # report 0 rather than a spurious 0 Hz "tone")
+                if len(x) >= 4:
+                    mag = np.abs(np.fft.rfft(x))[1:]
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sample_rate)[1:]
+                    tot = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    dominant = float(freqs[int(np.argmax(mag))]) if tot > 0 else 0.0
+                else:
+                    centroid = dominant = 0.0
                 rows.append(dict(clip_id=row["clip_id"], n_samples=len(x),
                                  rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-                                 zero_crossings=zc))
+                                 zero_crossings=zc,
+                                 spectral_centroid_hz=round(centroid, 3),
+                                 dominant_hz=round(dominant, 3)))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields]) if rows else \
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in AUDIO_SCHEMA.fields})
 

@@ -286,6 +286,29 @@ class TestMultimodal:
         with pytest.raises(Exception, match="STUB|NotImplemented"):
             audio_features(bad).collect()
 
+    def test_audio_spectral_features(self, spark):
+        """Pure sine at f0 → dominant ≈ centroid ≈ f0 (FFT-exact when the
+        tone falls on a bin: 8192 samples at 16 kHz, f0 = 500 Hz = bin 256);
+        a higher tone moves both upward; silence reports 0."""
+        from gdalcubes_spark.pipeline.multimodal import audio_features, encode_wav
+        sr, n = 16000, 8192
+        t = np.arange(n) / sr
+
+        def tone(f):
+            return encode_wav((np.sin(2 * np.pi * f * t) * 20000).astype(np.int16), sr)
+
+        df = spark.createDataFrame(
+            [("lo", bytearray(tone(500.0))), ("hi", bytearray(tone(3000.0))),
+             ("silence", bytearray(np.zeros(n, dtype="<i2").tobytes()))],
+            "clip_id string, pcm binary")
+        got = audio_features(df, sample_rate=sr).toPandas().set_index("clip_id")
+        assert abs(got.loc["lo", "dominant_hz"] - 500.0) < 2.0
+        assert abs(got.loc["hi", "dominant_hz"] - 3000.0) < 2.0
+        assert abs(got.loc["lo", "spectral_centroid_hz"] - 500.0) < 25.0
+        assert got.loc["hi", "spectral_centroid_hz"] > got.loc["lo", "spectral_centroid_hz"]
+        assert got.loc["silence", "dominant_hz"] == 0.0
+        assert got.loc["silence", "spectral_centroid_hz"] == 0.0
+
     def test_video_frame_sampling(self, spark):
         from gdalcubes_spark.pipeline.multimodal import sample_frames
         w, h, n = 4, 4, 25
