@@ -298,6 +298,25 @@ def _q_text_decontaminate(spark, sf_dir):
     return ngram_contamination(d, d.filter("doc_id % 41 = 0"), n=8)
 
 
+_PII_PLANT = " contact bob@example.com or https://ex.org/x 555-123-4567"
+
+
+def _q_text_pii_scan(spark, sf_dir):
+    """PII scrubbing gate (pre-training privacy filter): per-doc email/url/
+    phone counts + redacted-text md5, on documents with synthetic PII
+    planted in every 7th doc (the corpus itself is clean). One codegen
+    projection, zero shuffle; RE2-safe patterns → DuckDB-oracled including
+    the redaction hash."""
+    from gdalcubes_spark.pipeline.text import pii_scan
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_PLANT))
+                 .otherwise(F.lit(""))).alias("text"))
+    return pii_scan(planted)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from gdalcubes_spark.pipeline.dedup import exact_dedup
     return exact_dedup(_docs_with_clones(spark, sf_dir)).select("doc_id", "n_copies")
@@ -840,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngrams": _q_text_ngrams,
         "text_quality_by_source": _q_text_quality_by_source,
         "text_decontaminate": _q_text_decontaminate,
+        "text_pii_scan": _q_text_pii_scan,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1231,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ngrams": _text_ngrams_oracle(),
         "text_quality_by_source": _text_quality_by_source_oracle(),
         "text_decontaminate": _text_decontaminate_oracle(),
+        "text_pii_scan": _text_pii_scan_oracle(),
         "dedup_clusters": "WITH RECURSIVE " + _CLONES_SQL + """
             , words AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM docs),
             sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') s
@@ -1352,6 +1373,13 @@ def _text_quality_by_source_oracle() -> str:
                COUNT(*) AS n_docs
         FROM q GROUP BY source
     """
+
+
+def _text_pii_scan_oracle() -> str:
+    from gdalcubes_spark.pipeline.text import pii_scan_sql
+    planted = (f"(SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 "
+               f"THEN '{_PII_PLANT}' ELSE '' END AS text FROM documents) p")
+    return pii_scan_sql(table=planted)
 
 
 def _text_decontaminate_oracle() -> str:

@@ -211,6 +211,53 @@ def ngram_contamination_sql(n: int = 8, table: str = "documents",
     """
 
 
+# PII patterns chosen to mean THE SAME THING in Java regex (Spark codegen)
+# and RE2 (DuckDB): no backrefs, no lookaround, plain classes/quantifiers —
+# the bpe_token_counts cross-engine discipline.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^ ]+"),
+    ("phone", r"\d{3}-\d{3}-\d{4}"),
+)
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """PII scrubbing gate: per-document counts of email/url/phone patterns,
+    a has_pii flag, and the md5 of the REDACTED text (each match replaced by
+    its [TYPE] tag, in pattern order) — what a pre-training privacy filter
+    computes before dropping or rewriting documents.
+
+    Single codegen projection, zero Python, zero shuffle (regexp_count +
+    chained regexp_replace); the patterns are RE2-safe so a DuckDB oracle
+    reproduces counts AND the redacted-text hash exactly."""
+    red = F.col(col)
+    for name, p in _PII_PATTERNS:
+        red = F.regexp_replace(red, p, f"[{name.upper()}]")
+    out = df.select(
+        F.col(id_col),
+        *[F.regexp_count(F.col(col), F.lit(p)).cast("long").alias(f"n_{name}")
+          for name, p in _PII_PATTERNS],
+        F.md5(red).alias("redacted_md5"))
+    total = sum(F.col(f"n_{name}") for name, _ in _PII_PATTERNS)
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_scan_sql(table: str = "documents", col: str = "text") -> str:
+    """DuckDB rendering of pii_scan (same patterns, same replace order)."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({col}, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in _PII_PATTERNS)
+    red = col
+    for name, p in _PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"len(regexp_extract_all({col}, '{p}'))" for _, p in _PII_PATTERNS)
+    return f"""
+        SELECT doc_id, {counts}, md5({red}) AS redacted_md5,
+               ({total}) > 0 AS has_pii
+        FROM {table}
+    """
+
+
 def ngram_counts(df: DataFrame, n: int = 2, k: int = 100, col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Top-k word n-grams by DOCUMENT frequency (vocabulary/contamination

@@ -99,6 +99,35 @@ class TestNgramCounts:
         assert got == want
 
 
+class TestPiiScan:
+    def test_planted_pii_counted_and_redacted(self, spark):
+        from gdalcubes_spark.pipeline.text import pii_scan
+        rows = [(1, "clean text with no identifiers at all"),
+                (2, "reach me at a.b@x.io or b@y.org thanks"),
+                (3, "see https://ex.org/a and http://b.c/d now"),
+                (4, "call 555-123-4567 ok"),
+                (5, "a.b@x.io https://e.f/g 111-222-3333 combo")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+        assert not got[1]["has_pii"]
+        assert got[2]["n_email"] == 2 and got[2]["has_pii"]
+        assert got[3]["n_url"] == 2
+        assert got[4]["n_phone"] == 1
+        assert (got[5]["n_email"], got[5]["n_url"], got[5]["n_phone"]) == (1, 1, 1)
+        # redaction removes the PII: hash differs from raw, equal for docs
+        # with identical redacted text
+        import hashlib
+        raw5 = hashlib.md5(rows[4][1].encode()).hexdigest()
+        assert got[5]["redacted_md5"] != raw5
+        assert got[1]["redacted_md5"] == hashlib.md5(rows[0][1].encode()).hexdigest()
+
+    def test_zero_python_plan(self, spark):
+        from gdalcubes_spark.pipeline.text import pii_scan
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = pii_scan(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan  # pure codegen projection
+
+
 class TestNgramContamination:
     def test_planted_leakage_detected(self, spark):
         """Docs that embed a full benchmark sentence flag as contaminated;
