@@ -205,19 +205,20 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
                 if raw[:4] in (b"fLaC", b"ID3\x03", b"OggS"):
                     raise NotImplementedError("compressed audio decode needs an audio lib (STUB)")
                 if raw[:4] == b"RIFF":  # genuine .wav container (decode_wav)
-                    chans, _rate = decode_wav(raw)
-                    x = chans.astype("float64").mean(axis=0)
+                    chans, sr = decode_wav(raw)  # container rate WINS over
+                    x = chans.astype("float64").mean(axis=0)  # the argument
                     if chans.dtype == np.int16:
                         x = x / 32768.0
                 else:
                     x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+                    sr = sample_rate  # headerless PCM: caller-declared rate
                 zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 # spectral features via rFFT (magnitude-weighted mean and
                 # argmax frequency; DC bin excluded so silence/offset clips
                 # report 0 rather than a spurious 0 Hz "tone")
                 if len(x) >= 4:
                     mag = np.abs(np.fft.rfft(x))[1:]
-                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sample_rate)[1:]
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)[1:]
                     tot = float(mag.sum())
                     centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
                     dominant = float(freqs[int(np.argmax(mag))]) if tot > 0 else 0.0

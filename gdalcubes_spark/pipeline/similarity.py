@@ -661,7 +661,6 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         embeddings, n_centroids=n_centroids, m=m, ks=ks, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col, sample_rows=sample_rows,
         train_full_corpus=train_full_corpus)
-    cn2 = 0.5 * (CB * CB).sum(axis=2)
 
     # --- query side: probes + ADC LUT rows, executor-side
     q_schema = T.StructType([

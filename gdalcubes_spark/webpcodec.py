@@ -108,11 +108,6 @@ class _WL:  # LSB-first writer
             self.buf >>= 8
             self.nbits -= 8
 
-    def code(self, code: int, length: int):
-        """Prefix-code bits go MSB-first onto the LSB-first stream (§3.7)."""
-        for i in range(length - 1, -1, -1):
-            self.bits((code >> i) & 1, 1)
-
     def done(self) -> bytes:
         if self.nbits:
             self.out.append(self.buf & 0xFF)
@@ -166,11 +161,17 @@ class _Prefix:
             if ln:
                 self.codes[s] = (next_code[ln], ln)
                 next_code[ln] += 1
-        # bit-REVERSED codes: writing the canonical code MSB-first through
-        # the LSB-first writer equals ONE bits(rev, len) call — the per-bit
-        # wr.code loop was the encode hot spot
-        self.rev = {s: (int(format(c, f"0{l}b")[::-1], 2), l)
-                    for s, (c, l) in self.codes.items()}
+        self.rev = None  # lazy (encode-only; see revmap)
+
+    def revmap(self):
+        """Bit-REVERSED codes: writing the canonical code MSB-first through
+        the LSB-first writer equals ONE bits(rev, len) call — the per-bit
+        loop was the encode hot spot. Lazy because DECODE-side codes (built
+        for every plane of every image) never touch it."""
+        if self.rev is None:
+            self.rev = {s: (int(format(c, f"0{l}b")[::-1], 2), l)
+                        for s, (c, l) in self.codes.items()}
+        return self.rev
 
     @classmethod
     def single_symbol(cls, sym: int, alphabet: int):
@@ -224,7 +225,7 @@ class _Prefix:
         return sym_l[idx]
 
     def write(self, wr: _WL, sym: int):
-        rev, ln = self.rev[sym]
+        rev, ln = self.revmap()[sym]
         if ln:
             wr.bits(rev, ln)
 
@@ -403,15 +404,6 @@ def _write_prefix(wr: _WL, lengths: List[int]):
 
 # ------------------------------------------------------------- lz77 plumbing
 
-def _lz_read(code: int, rd: _RL) -> int:
-    """§3.6.2.2 prefix-coded length/distance value."""
-    if code < 4:
-        return code + 1
-    extra = (code - 2) >> 1
-    offset = (2 + (code & 1)) << extra
-    return offset + rd.bits(extra) + 1
-
-
 def _lz_code(v: int) -> Tuple[int, int, int]:
     """value → (prefix_code, extra_bits_value, extra_bits_count)."""
     if v <= 4:
@@ -446,57 +438,6 @@ def _dist_to_plane(dist: int, xsize: int) -> int:
 
 
 # --------------------------------------------------------------- transforms
-
-def _predict(mode: int, left: int, top: int, topleft: int, topright: int) -> int:
-    """§4.2.1 predictor modes 0..13 on packed ARGB (per-channel uint8 math)."""
-    if mode == 0:
-        return 0xFF000000
-    if mode == 1:
-        return left
-    if mode == 2:
-        return top
-    if mode == 3:
-        return topright
-    if mode == 4:
-        return topleft
-    if mode == 5:
-        return _avg2(_avg2(left, topright), top)
-    if mode == 6:
-        return _avg2(left, topleft)
-    if mode == 7:
-        return _avg2(left, top)
-    if mode == 8:
-        return _avg2(topleft, top)
-    if mode == 9:
-        return _avg2(top, topright)
-    if mode == 10:
-        return _avg2(_avg2(left, topleft), _avg2(top, topright))
-    if mode == 11:  # Select
-        pl = pt = 0
-        for sh in (24, 16, 8, 0):
-            tl = (topleft >> sh) & 0xFF
-            pl += abs(((top >> sh) & 0xFF) - tl)
-            pt += abs(((left >> sh) & 0xFF) - tl)
-        return left if pl < pt else top
-    if mode == 12:  # ClampAddSubtractFull
-        out = 0
-        for sh in (24, 16, 8, 0):
-            v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((topleft >> sh) & 0xFF)
-            out |= max(0, min(255, v)) << sh
-        return out
-    # 13: ClampAddSubtractHalf
-    out = 0
-    for sh in (24, 16, 8, 0):
-        a = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
-        b = (topleft >> sh) & 0xFF
-        v = a + ((a - b) >> 1)
-        out |= max(0, min(255, v)) << sh
-    return out
-
-
-def _avg2(a: int, b: int) -> int:
-    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
-
 
 def _add_px(a: int, b: int) -> int:
     """Per-channel modulo-256 addition of packed ARGB."""
@@ -565,13 +506,15 @@ def _decode_pixels(rd: _RL, w: int, h: int, level0: bool):
     bpos = rd.pos
     buf = rd.buf
     nbits = rd.nbits
-    g5 = gtabs[0]
     shift = 32 - cache_bits if cache_bits else 0
+    # single-group images (the common case) unpack the 20 plane locals ONCE
+    (gs, gl, gv, gm), (rs, rl, rv, rm), (bs, bl, bv, bm), \
+        (as_, al, av, am), (ds, dl_, dv, dm) = gtabs[0]
     while pos < total:
         if meta_l is not None:
             y, x = divmod(pos, w)
-            g5 = gtabs[meta_l[y >> hbits][x >> hbits]]
-        (gs, gl, gv, gm), (rs, rl, rv, rm), (bs, bl, bv, bm), (as_, al, av, am), (ds, dl_, dv, dm) = g5
+            (gs, gl, gv, gm), (rs, rl, rv, rm), (bs, bl, bv, bm), \
+                (as_, al, av, am), (ds, dl_, dv, dm) = gtabs[meta_l[y >> hbits][x >> hbits]]
         # --- green symbol
         if gv is not None:
             s = gv
@@ -695,18 +638,6 @@ def _decode_pixels(rd: _RL, w: int, h: int, level0: bool):
             pos += 1
     rd.pos, rd.buf, rd.nbits = bpos, buf, nbits  # hand the bit state back
     return np.asarray(out, dtype=np.uint32).reshape(h, w)
-
-
-def _pred_neighbors(out, y: int, x: int, w: int):
-    """(left, top, topleft, topright) for the predictor transform. Pixels
-    are reconstructed in raster order, so the TR neighbor of the LAST column
-    follows libwebp's contiguous-row convention: one past the top row's end
-    is the current row's first (already reconstructed) pixel."""
-    left = int(out[y, x - 1])
-    top = int(out[y - 1, x])
-    topleft = int(out[y - 1, x - 1])
-    topright = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
-    return left, top, topleft, topright
 
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
@@ -1024,7 +955,7 @@ def _encode_pixels(wr: _WL, img: np.ndarray, cache_bits: int, use_lz77: bool,
     # wr.bits/write method calls were the encode wall (same lesson as the
     # decoder); zero-length rev entries (simple single-symbol codes) are
     # harmless no-op shifts
-    grev, rrev, brev, arev, drev = (c.rev for c in codes)
+    grev, rrev, brev, arev, drev = (c.revmap() for c in codes)
     emit = wr.out
     buf = wr.buf
     nbits = wr.nbits

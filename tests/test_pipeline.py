@@ -309,6 +309,18 @@ class TestMultimodal:
         assert got.loc["silence", "dominant_hz"] == 0.0
         assert got.loc["silence", "spectral_centroid_hz"] == 0.0
 
+    def test_wav_container_rate_wins_over_argument(self, spark):
+        """A 44.1 kHz RIFF clip analyzed with the DEFAULT sample_rate=16000
+        must still report Hz from the container's own rate (pre-fix: scaled
+        by 16000/44100)."""
+        from gdalcubes_spark.pipeline.multimodal import audio_features, encode_wav
+        sr, n, f0 = 44100, 44100 // 2, 1000.0
+        t = np.arange(n) / sr
+        wav = encode_wav((np.sin(2 * np.pi * f0 * t) * 20000).astype(np.int16), sr)
+        df = spark.createDataFrame([("c", bytearray(wav))], "clip_id string, pcm binary")
+        r = audio_features(df).toPandas().iloc[0]  # note: default sample_rate
+        assert abs(r["dominant_hz"] - f0) < 5.0
+
     def test_video_frame_sampling(self, spark):
         from gdalcubes_spark.pipeline.multimodal import sample_frames
         w, h, n = 4, 4, 25
