@@ -203,11 +203,26 @@ def _webp_encode(a: np.ndarray) -> bytes:
     return encode_vp8l(a)
 
 
-def _webp_decode(b: bytes) -> np.ndarray:
+def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     """VP8L → (nb, h, w) with the deterministic collapse matching encode:
-    opaque alpha plane dropped (4→3), grey stored as r=g=b folded (3→1)."""
+    opaque alpha plane dropped (4→3), grey stored as r=g=b folded (3→1).
+
+    CAVEAT: the collapse means band count is NOT a roundtrip invariant for
+    arbitrary external payloads — a genuine RGB image whose channels happen
+    to be equal collapses to 1 band, and an ARGB file with all-opaque alpha
+    (common) collapses to 3. Inventories that declare a band count should
+    pass it via `nb` to pin the output shape (4 = keep ARGB as stored,
+    3 = RGB even if grey, 1 = grey)."""
     from gdalcubes_spark.webpcodec import decode_vp8l
     argb = decode_vp8l(b)
+    if nb is not None:
+        if nb == 4:
+            return argb
+        if nb == 3:
+            return argb[1:]
+        if nb == 1:
+            return argb[2:3]  # green plane; encode stores grey as r=g=b
+        raise ValueError(f"webp nb must be 1, 3 or 4, got {nb}")
     if (argb[0] == 255).all():
         rgb = argb[1:]
         if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
@@ -230,8 +245,10 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
-def decode(b: bytes, fmt: str) -> np.ndarray:
-    """bytes → uint8 (nb, h, w)."""
+def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
+    """bytes → uint8 (nb, h, w). `nb` (optional) pins the band count for
+    formats whose storage is ambiguous (currently webp — see _webp_decode);
+    other formats carry the count in-band and ignore it."""
     if fmt == "raw":
         return _raw_decode(b)
     if fmt == "png":
@@ -241,7 +258,7 @@ def decode(b: bytes, fmt: str) -> np.ndarray:
     if fmt == "tif":
         return _tif_decode(b)
     if fmt == "webp":
-        return _webp_decode(b)
+        return _webp_decode(b, nb=nb)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -229,7 +229,15 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFr
 
     Single codegen projection, zero Python, zero shuffle (regexp_count +
     chained regexp_replace); the patterns are RE2-safe so a DuckDB oracle
-    reproduces counts AND the redacted-text hash exactly."""
+    reproduces counts AND the redacted-text hash exactly.
+
+    PRECEDENCE CONTRACT: counts are computed against the RAW text, while
+    redaction chains replaces in _PII_PATTERNS order (email, url, phone).
+    A match nested inside an earlier pattern's match (e.g. a phone number in
+    a URL path) is therefore COUNTED but swallowed by the outer tag rather
+    than emitted as its own — n_* totals the PII present in the input, not
+    the tags present in the output. The oracle renders the same chain, so
+    both engines agree byte-for-byte."""
     red = F.col(col)
     for name, p in _PII_PATTERNS:
         red = F.regexp_replace(red, p, f"[{name.upper()}]")

@@ -430,7 +430,7 @@ def _dist_to_plane(dist: int, xsize: int) -> int:
         if dx > 8:
             dx -= xsize
             dy += 1
-        if -8 <= dx <= 7 and 0 <= dy <= 7:
+        if -7 <= dx <= 8 and 0 <= dy <= 7:
             code = _DIST_INV.get((dx, dy))
             if code is not None:
                 return code
@@ -719,10 +719,13 @@ def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
                              - ((topleft >> sh) & 0xFF))
                         pred |= (0 if c < 0 else 255 if c > 255 else c) << sh
                 else:  # 13
+                    # ClampAddSubtractHalf: libwebp halves (a - topleft) with
+                    # C integer division (truncate toward zero), not >>1.
                     pred = 0
                     for sh in (24, 16, 8, 0):
                         a = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
-                        c = a + ((a - ((topleft >> sh) & 0xFF)) >> 1)
+                        d = a - ((topleft >> sh) & 0xFF)
+                        c = a + ((d + (d < 0)) >> 1)
                         pred |= (0 if c < 0 else 255 if c > 255 else c) << sh
             v = rrow[x]
             left = ((((v & M_HI) + (pred & M_HI)) & M_HI)
@@ -1045,7 +1048,8 @@ def _mode_predictions(img: np.ndarray) -> np.ndarray:
     preds[11] = np.where((pl < pt)[..., None], L, T)
     preds[12] = np.clip(L + T - TL, 0, 255)
     a = avg2(L, T)
-    preds[13] = np.clip(a + ((a - TL) >> 1), 0, 255)
+    d13 = a - TL  # halved with truncation toward zero, matching libwebp's C division
+    preds[13] = np.clip(a + ((d13 + (d13 < 0)) >> 1), 0, 255)
     return preds.astype(np.uint8)
 
 

@@ -1,0 +1,96 @@
+"""Regression tests for round-5 ADVICE fixes (webpcodec mode-13 halving,
+short-distance plane guard, webp decode band pinning)."""
+import numpy as np
+import pytest
+
+from gdalcubes_spark import codecs
+from gdalcubes_spark import webpcodec as W
+
+
+def _grey_px(g: int) -> np.uint32:
+    return np.uint32((g << 24) | (g << 16) | (g << 8) | g)
+
+
+class TestMode13TruncHalving:
+    def test_mode_predictions_truncates_toward_zero(self):
+        # At (1,1): L=T=10 → ave=10, TL=15. libwebp: 10 + trunc((10-15)/2)
+        # = 10 + (-2) = 8. Floor-shift halving would give 7.
+        img = np.array([[_grey_px(15), _grey_px(10)],
+                        [_grey_px(10), _grey_px(0)]], dtype=np.uint32)
+        preds = W._mode_predictions(img)
+        assert int(preds[13, 1, 1, 3]) == 8  # low byte channel
+        assert int(preds[13, 1, 1, 0]) == 8  # alpha channel too
+
+    def test_mode_predictions_positive_diff_unchanged(self):
+        # ave=15, TL=10 → 15 + trunc(2.5) = 17 (floor and trunc agree).
+        img = np.array([[_grey_px(10), _grey_px(15)],
+                        [_grey_px(15), _grey_px(0)]], dtype=np.uint32)
+        preds = W._mode_predictions(img)
+        assert int(preds[13, 1, 1, 3]) == 17
+
+    def test_forced_mode13_roundtrip(self, monkeypatch):
+        # Force every tile to predictor mode 13 so the decoder's inline
+        # scalar halving is exercised against the encoder's vectorized one
+        # on noise (plenty of odd negative differences). Any floor/trunc
+        # mismatch desyncs the chained predictions and breaks exactness.
+        rng = np.random.default_rng(135)
+        a = rng.integers(0, 256, size=(3, 48, 40), dtype=np.uint8)
+        orig = W._select_predictor_modes
+
+        def all13(img, bits):
+            return np.full_like(orig(img, bits), 13)
+
+        monkeypatch.setattr(W, "_select_predictor_modes", all13)
+        enc = W.encode_vp8l(a, transform="predictor")
+        out = W.decode_vp8l(enc)
+        assert np.array_equal(out[1:], a)  # ARGB → compare RGB planes
+
+
+class TestDistPlaneGuard:
+    def test_dx8_codes_now_emitted(self):
+        # dist = 8 on a wide image is short-distance code (dx=8, dy=0).
+        xs = 64
+        for dy in range(0, 8):
+            dist = dy * xs + 8
+            code = W._dist_to_plane(dist, xs)
+            assert code <= 120, f"(8,{dy}) should map to a plane code"
+            assert W._plane_to_dist(code, xs) == dist
+
+    def test_all_map_entries_roundtrip(self):
+        xs = 100
+        for i, (dx, dy) in enumerate(W._DIST_MAP):
+            dist = dy * xs + dx
+            if dist < 1:
+                continue
+            code = W._dist_to_plane(dist, xs)
+            assert code == i + 1
+            assert W._plane_to_dist(code, xs) == dist
+
+    def test_out_of_window_falls_back(self):
+        assert W._dist_to_plane(9, 1000) == 9 + 120  # dx=9 → literal
+        assert W._plane_to_dist(9 + 120, 1000) == 9
+
+
+class TestWebpBandPinning:
+    def test_nb_pins_grey_as_rgb(self):
+        g = np.full((1, 8, 8), 77, dtype=np.uint8)
+        b = codecs.encode(np.repeat(g, 3, axis=0), "webp")
+        # default collapse folds equal channels to 1 band
+        assert codecs.decode(b, "webp").shape[0] == 1
+        out = codecs.decode(b, "webp", nb=3)
+        assert out.shape[0] == 3
+        assert np.array_equal(out, np.repeat(g, 3, axis=0))
+
+    def test_nb_pins_opaque_argb(self):
+        rng = np.random.default_rng(7)
+        rgb = rng.integers(0, 256, size=(3, 8, 8), dtype=np.uint8)
+        b = codecs.encode(rgb, "webp")
+        out4 = codecs.decode(b, "webp", nb=4)
+        assert out4.shape[0] == 4
+        assert (out4[0] == 255).all()
+        assert np.array_equal(out4[1:], rgb)
+
+    def test_nb_invalid(self):
+        b = codecs.encode(np.zeros((1, 4, 4), dtype=np.uint8), "webp")
+        with pytest.raises(ValueError):
+            codecs.decode(b, "webp", nb=2)
