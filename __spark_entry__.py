@@ -596,6 +596,39 @@ def _q_multimodal_features(spark, sf_dir):
     return f.select("image_id", "nb", "h", "w", "ahash")
 
 
+def _q_multimodal_raw_oracle(spark, sf_dir):
+    """FULL DuckDB oracle for the multimodal feature path (r4 VERDICT item
+    4, the scan_raw_oracle pattern): a raw-format inventory whose pixels are
+    the closed-form synth formula v=(a·px+b·py+17·band+d) mod 256 runs the
+    REAL Arrow-batched decode_features (decode → nearest-resize thumbnail →
+    band means/stds → aHash) and quality_pool_probe (2×2 block-mean degrade
+    → per-band MSE/PSNR); the oracle reconstructs every pixel in pure SQL
+    and recomputes all six feature columns, so the decode→resize→feature→
+    quality math is value-hash-gated end-to-end. Arithmetic is knife-edge
+    free: 32×32 images make every mean a power-of-two division (exact in
+    float64), stds stay exact through the algebraic identity, SQRT is
+    IEEE-correctly-rounded in both engines, and the aHash two's-complement
+    fold is reproduced bit-for-bit with a signed SUM."""
+    from gdalcubes_spark.pipeline.multimodal import decode_features, quality_pool_probe
+    from gdalcubes_spark.synth import ImageLayout, generate_images
+    lay = ImageLayout(gx=4, gy=4, ntime=2, tile_w=32, tile_h=32, nb=2, fmts=("raw",))
+    imgs = generate_images(_utc(spark), 48, lay)
+    feats = decode_features(imgs, resize=(4, 4))
+    per_band = (feats.select(
+        "image_id", "h", "w", "ahash", "thumb",
+        F.posexplode(F.arrays_zip("band_means", "band_stds")).alias("band", "z"))
+        .select("image_id", "band", "h", "w", "ahash",
+                F.col("z.band_means").alias("band_mean"),
+                F.round(F.col("z.band_stds"), 6).alias("band_std"),
+                F.md5(F.concat_ws(",", F.expr(
+                    "transform(slice(thumb, band * 16 + 1, 16), x -> cast(cast(x as int) as string))"
+                ))).alias("thumb_md5")))
+    qual = quality_pool_probe(imgs, factor=2)
+    return (per_band.join(qual, ["image_id", "band"])
+            .select("image_id", "band", "h", "w", "band_mean", "band_std",
+                    "thumb_md5", "ahash", "mse", "psnr"))
+
+
 def _q_phash_neardup_md5(spark, sf_dir):
     """Fully-oracled Hamming near-dup over an int64 signature column: 60-bit
     md5 'phash' values derived from doc_id (identical in DuckDB), clones
@@ -922,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_stats": _q_seq_pack_stats,
         "ann_topk": _q_ann_topk,
         "ann_recall_gate": _q_ann_recall_gate,
+        "multimodal_raw_oracle": _q_multimodal_raw_oracle,
         "embed_neardup": _q_embed_neardup,
         "semantic_dedup": _q_semantic_dedup,
         "knn_tiles": _q_knn_tiles,
@@ -1233,6 +1267,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.method, b.query_id, b.brute_ids, b.brute_min_sim,
                    TRUE AS recall_ok
             FROM base b CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq'), ('ivfpq')) m(method)
+        """,
+        "multimodal_raw_oracle": """
+            WITH imgs AS (
+              SELECT i, printf('img_%012d', i) AS image_id,
+                     1 + (i * 7) % 5 AS a, 1 + (i * 11) % 5 AS b, (i * 13) % 256 AS d
+              FROM range(48) t(i)
+            ),
+            px AS (
+              SELECT image_id, ib AS band, py, px,
+                     CAST((a * px + b * py + 17 * ib + d) % 256 AS DOUBLE) AS v
+              FROM imgs CROSS JOIN range(2) bb(ib)
+                        CROSS JOIN range(32) yy(py) CROSS JOIN range(32) xx(px)
+            ),
+            stats AS (
+              SELECT image_id, band, AVG(v) AS band_mean,
+                     ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)), 6) AS band_std
+              FROM px GROUP BY 1, 2
+            ),
+            thumb AS (
+              SELECT image_id, band,
+                     md5(string_agg(CAST(CAST(v AS INTEGER) AS VARCHAR), ','
+                                    ORDER BY py, px)) AS thumb_md5
+              FROM px WHERE py % 8 = 0 AND px % 8 = 0
+              GROUP BY 1, 2
+            ),
+            g AS (SELECT image_id, py, px, AVG(v) AS gv FROM px GROUP BY 1, 2, 3),
+            pooled AS (
+              SELECT image_id, py // 4 AS by, px // 4 AS bx, AVG(gv) AS pv
+              FROM g GROUP BY 1, 2, 3
+            ),
+            pm AS (SELECT image_id, AVG(pv) AS pmean FROM pooled GROUP BY 1),
+            ah AS (
+              SELECT p.image_id, CAST(SUM(
+                CASE WHEN p.pv > pm.pmean THEN
+                  CASE WHEN 8 * p.by + p.bx = 0 THEN -9223372036854775807 - 1
+                       ELSE CAST(1 AS BIGINT) << CAST(63 - (8 * p.by + p.bx) AS INTEGER) END
+                ELSE 0 END) AS BIGINT) AS ahash
+              FROM pooled p JOIN pm USING (image_id) GROUP BY 1
+            ),
+            deg AS (
+              SELECT image_id, band, py // 2 AS by, px // 2 AS bx, AVG(v) AS dv
+              FROM px GROUP BY 1, 2, 3, 4
+            ),
+            q AS (
+              SELECT px.image_id, px.band, AVG((v - dv) * (v - dv)) AS mse
+              FROM px JOIN deg ON deg.image_id = px.image_id AND deg.band = px.band
+                              AND deg.by = px.py // 2 AND deg.bx = px.px // 2
+              GROUP BY 1, 2
+            )
+            SELECT s.image_id, CAST(s.band AS INTEGER) AS band,
+                   32 AS h, 32 AS w, s.band_mean, s.band_std, t.thumb_md5, ah.ahash,
+                   q.mse, ROUND(10 * LOG10(65025.0 / q.mse), 6) AS psnr
+            FROM stats s
+            JOIN thumb t USING (image_id, band)
+            JOIN ah USING (image_id)
+            JOIN q USING (image_id, band)
         """,
         "embed_neardup": """
             WITH emb AS (

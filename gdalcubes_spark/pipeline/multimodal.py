@@ -336,3 +336,47 @@ def image_quality(images: DataFrame, quality: int = 35) -> DataFrame:
 
     from gdalcubes_spark.pipeline.dedup import widen_input
     return widen_input(images.select("image_id", "bytes", "fmt")).mapInPandas(gen, QUALITY_SCHEMA)
+
+
+POOL_QUALITY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("mse", T.DoubleType(), False),
+    T.StructField("psnr", T.DoubleType(), False),
+])
+
+
+def quality_pool_probe(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Deterministic-degrade quality probe: decode each payload, degrade it
+    by factor×factor block-mean pooling + nearest upsample (a codec-free
+    stand-in for lossy recompression), and score per band with MSE and PSNR.
+
+    Unlike image_quality's JPEG round trip, every step here is exact
+    rational arithmetic (integer pixels, power-of-two block means), so on a
+    raw-format inventory whose pixels are the closed-form synth formula the
+    whole decode→degrade→metric path is reproducible in pure SQL — this is
+    the operator behind the multimodal_raw_oracle driver gate (r4 VERDICT
+    item 4). PSNR is rounded to 6 (log10 is the one correctly-rounded-libm
+    step); MSE is emitted unrounded (exact dyadic rational in float64).
+
+    Arrow-batched mapInPandas; one output row per (image, band)."""
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                a = codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+                nb, h, w = a.shape
+                oh, ow = h // factor, w // factor
+                crop = a[:, : oh * factor, : ow * factor]
+                pooled = crop.reshape(nb, oh, factor, ow, factor).mean(axis=(2, 4))
+                up = pooled.repeat(factor, axis=1).repeat(factor, axis=2)
+                for ib in range(nb):
+                    m = float(np.mean((crop[ib] - up[ib]) ** 2))
+                    psnr = 99.0 if m < 1e-12 else round(10.0 * np.log10(255.0 ** 2 / m), 6)
+                    rows.append(dict(image_id=row["image_id"], band=ib, mse=m, psnr=psnr))
+            yield pd.DataFrame(rows, columns=[f.name for f in POOL_QUALITY_SCHEMA.fields]) if rows else \
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in POOL_QUALITY_SCHEMA.fields})
+
+    from gdalcubes_spark.pipeline.dedup import widen_input
+    return widen_input(images.select("image_id", "bytes", "fmt")).mapInPandas(gen, POOL_QUALITY_SCHEMA)

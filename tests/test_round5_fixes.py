@@ -94,3 +94,31 @@ class TestWebpBandPinning:
         b = codecs.encode(np.zeros((1, 4, 4), dtype=np.uint8), "webp")
         with pytest.raises(ValueError):
             codecs.decode(b, "webp", nb=2)
+
+
+class TestQualityPoolProbe:
+    def test_known_mse(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import quality_pool_probe
+        # band 0: [[0,2],[4,6]] tiled — each 2x2 block mean is 3, diffs
+        # (-3,-1,1,3) → mse = (9+1+1+9)/4 = 5.0
+        a = np.tile(np.array([[0, 2], [4, 6]], dtype=np.uint8), (4, 4))[None]
+        df = spark.createDataFrame(
+            [("i0", bytearray(codecs.encode(a, "raw")), "raw")],
+            "image_id string, bytes binary, fmt string")
+        rows = quality_pool_probe(df, factor=2).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["band"] == 0
+        assert r["mse"] == 5.0
+        assert abs(r["psnr"] - round(10 * np.log10(255.0 ** 2 / 5.0), 6)) < 1e-9
+
+    def test_constant_image_psnr_cap(self, spark):
+        from gdalcubes_spark.pipeline.multimodal import quality_pool_probe
+        a = np.full((2, 8, 8), 42, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("i0", bytearray(codecs.encode(a, "raw")), "raw")],
+            "image_id string, bytes binary, fmt string")
+        rows = {r["band"]: r for r in quality_pool_probe(df, factor=2).collect()}
+        assert set(rows) == {0, 1}
+        for r in rows.values():
+            assert r["mse"] == 0.0 and r["psnr"] == 99.0
