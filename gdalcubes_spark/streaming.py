@@ -251,9 +251,35 @@ def streaming_dedup(stream: DataFrame, key_expr: str = "md5(lower(trim(text)))",
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+_TTL_UNITS = {"ms": 1, "millisecond": 1, "milliseconds": 1,
+              "s": 1000, "second": 1000, "seconds": 1000,
+              "m": 60_000, "min": 60_000, "minute": 60_000, "minutes": 60_000,
+              "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+              "d": 86_400_000, "day": 86_400_000, "days": 86_400_000}
+
+
+def _ttl_ms(ttl) -> int:
+    """'30 minutes' / '2h' / 1500 → milliseconds (GroupState.setTimeoutDuration
+    takes an int; the CalendarInterval-string form is JVM-side only)."""
+    if isinstance(ttl, int):
+        return ttl
+    parts = str(ttl).strip().split()
+    if len(parts) == 1:  # '2h' / '1500ms'
+        import re
+        m = re.fullmatch(r"(\d+)\s*([a-zA-Z]+)", parts[0])
+        if not m:
+            raise ValueError(f"cannot parse ttl {ttl!r}")
+        parts = [m.group(1), m.group(2)]
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _TTL_UNITS:
+        raise ValueError(f"unknown ttl unit {unit!r} in {ttl!r}")
+    return n * _TTL_UNITS[unit]
+
+
 def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
                           phash_col: str = "phash", max_hamming: int = 4,
-                          sig_bits: int = 64) -> DataFrame:
+                          sig_bits: int = 64, max_state: int | None = 65536,
+                          ttl: "str | int | None" = None) -> DataFrame:
     """Streaming VISUAL near-dup (custom stateful operator): emit (ida, idb,
     hamming) for every arriving image within `max_hamming` bits of any
     previously-seen phash — the incremental-ingest twin of the batch
@@ -270,7 +296,15 @@ def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
     Delivery: a pair agreeing on SEVERAL bands fires once per matching band
     (at-least-once pair delivery); batch consumers distinct() the sink.
     Expects a long id (cast from numeric) — map string ids to longs
-    upstream (e.g. xxhash64) before calling."""
+    upstream (e.g. xxhash64) before calling.
+
+    STATE BOUNDING (an unbounded ingest stream would otherwise grow hot
+    buckets linearly in images-seen): `max_state` caps each bucket at its
+    most-recent entries (LRU by arrival order, applied when state is saved
+    — the retention contract is "new images pair against the last max_state
+    bucket-mates"); `ttl` (e.g. "30 minutes") additionally drops buckets
+    that have been idle for the duration via a processing-time timeout.
+    Defaults: max_state=65536 (bounded out of the box), ttl off."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -300,6 +334,9 @@ def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
     ])
 
     def pair_fn(key, pdf_iter, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
         if state.exists:
             ids, phs = (list(v) for v in state.get)
         else:
@@ -316,20 +353,27 @@ def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
                         rows.append((a, b, hd))
                 ids.append(i)
                 phs.append(p)
+        if max_state is not None and len(ids) > max_state:
+            ids, phs = ids[-max_state:], phs[-max_state:]
         state.update((ids, phs))
+        if ttl is not None:
+            state.setTimeoutDuration(_ttl_ms(ttl))
         if not rows:
             return iter(())
         return iter([pd.DataFrame(rows, columns=["ida", "idb", "hamming"])])
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl is not None
+               else GroupStateTimeout.NoTimeout)
     return (keyed.groupBy("band", "bv")
             .applyInPandasWithState(pair_fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))
 
 
 def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             n_planes: int = 8, n_tables: int = 12,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42, max_state: int | None = 65536,
+                            ttl: "str | int | None" = None) -> DataFrame:
     """Streaming SEMANTIC near-dup (custom stateful operator): emit (ida,
     idb, sim) for every arriving embedding whose cosine with a
     previously-seen vector is ≥ threshold — the incremental twin of
@@ -342,7 +386,12 @@ def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
     cosine applies inside the state function — so emitted pairs are
     exact-verified, never bucket-trusted. A pair colliding in several tables
     fires once per table (at-least-once delivery, like
-    streaming_phash_dedup); distinct() the sink."""
+    streaming_phash_dedup); distinct() the sink.
+
+    STATE BOUNDING: same contract as streaming_phash_dedup — `max_state`
+    caps each (table, bucket) at its most-recent entries (LRU by arrival
+    order), `ttl` drops idle buckets via a processing-time timeout.
+    Defaults: max_state=65536, ttl off."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -395,6 +444,9 @@ def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
     ])
 
     def pair_fn(key, pdf_iter, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
         if state.exists:
             ids, vecs = (list(v) for v in state.get)
         else:
@@ -413,14 +465,20 @@ def streaming_embed_neardup(stream: DataFrame, threshold: float = 0.99,
                 # pure-python floats: numpy scalars don't survive the state
                 # (un)pickler on the JVM side
                 vecs.append(v.tolist())
+        if max_state is not None and len(ids) > max_state:
+            ids, vecs = ids[-max_state:], vecs[-max_state:]
         state.update((ids, vecs))
+        if ttl is not None:
+            state.setTimeoutDuration(_ttl_ms(ttl))
         if not rows:
             return iter(())
         return iter([pd.DataFrame(rows, columns=["ida", "idb", "sim"])])
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl is not None
+               else GroupStateTimeout.NoTimeout)
     return (keyed.groupBy("tbl", "bucket")
             .applyInPandasWithState(pair_fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))
 
 
 def streaming_events_sessions(stream: DataFrame, watermark: str = "10 minutes",

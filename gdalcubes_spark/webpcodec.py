@@ -61,7 +61,12 @@ _DIST_MAP: List[Tuple[int, int]] = [
 _DIST_INV = {xy: i + 1 for i, xy in enumerate(_DIST_MAP)}
 
 # §3.7.4 order in which code-length-code lengths are transmitted
-_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# kCodeLengthCodeOrder (RFC 9649 §3.7.4): 16 sits between 5 and 6 — NOT at
+# the end. The r4 codec had it last; encoder and decoder mirrored each other
+# so every internal roundtrip passed while every real libwebp stream using
+# the normal form desynced. Caught the moment the parity seam first executed
+# against the system libwebp (round 5).
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 _CACHE_MUL = 0x1E35A7BD
 
@@ -145,11 +150,17 @@ class _Prefix:
         self.offsets = offsets
         self.max_len = max_len
         self._lut = None  # lazy 15-bit decode table (see _build_lut)
-        # NOTE: a single-symbol code built from LENGTHS (normal form) still
-        # costs 1 bit/symbol; only the simple-header form (single_symbol
-        # classmethod) is the zero-bit shortcut — conflating them was a
-        # 1-bit-per-symbol desync
-        self.single = None
+        # libwebp semantics (huffman_utils.c BuildHuffmanTable "special case
+        # code with only one value"): a code with exactly ONE participating
+        # symbol is ZERO bits per symbol REGARDLESS of its declared length —
+        # the header may say length 1 (that's what cwebp writes) but no bits
+        # flow for the symbols. This applies to normal-form codes and to the
+        # code-length code itself, not just the simple-header form. (The r4
+        # codec charged 1 bit here; it was internally consistent but
+        # desynced on real libwebp streams — caught when the parity seam
+        # first executed against the system libwebp.)
+        nz = [s for s, ln in enumerate(lengths) if ln]
+        self.single = nz[0] if len(nz) == 1 else None
         # encode table
         self.codes = {}
         next_code = dict()
@@ -169,8 +180,13 @@ class _Prefix:
         loop was the encode hot spot. Lazy because DECODE-side codes (built
         for every plane of every image) never touch it."""
         if self.rev is None:
-            self.rev = {s: (int(format(c, f"0{l}b")[::-1], 2), l)
-                        for s, (c, l) in self.codes.items()}
+            if self.single is not None:
+                # zero-bit single-value code (libwebp semantics) — the
+                # inlined _encode_pixels emitter reads this map directly
+                self.rev = {self.single: (0, 0)}
+            else:
+                self.rev = {s: (int(format(c, f"0{l}b")[::-1], 2), l)
+                            for s, (c, l) in self.codes.items()}
         return self.rev
 
     @classmethod
@@ -225,6 +241,8 @@ class _Prefix:
         return sym_l[idx]
 
     def write(self, wr: _WL, sym: int):
+        if self.single is not None:
+            return  # zero-bit code (libwebp single-value semantics)
         rev, ln = self.revmap()[sym]
         if ln:
             wr.bits(rev, ln)
@@ -270,14 +288,10 @@ def _huff_lengths(freqs: List[int], max_len: int = 15) -> List[int]:
 
 
 def _encode_code(lengths: List[int]) -> _Prefix:
-    """Encode-side code matching what _write_prefix's wire form decodes to:
-    a single-symbol plane written in the SIMPLE form is a zero-length code
-    (the decoder consumes no bits per symbol), so the encoder must emit
-    none either; a single symbol > 255 goes through the normal form and
-    keeps its 1-bit code."""
-    nz = [s for s, ln in enumerate(lengths) if ln]
-    if len(nz) == 1 and nz[0] <= 255:
-        return _Prefix.single_symbol(nz[0], len(lengths))
+    """Encode-side code matching what _write_prefix's wire form decodes to.
+    _Prefix now applies the libwebp single-value rule itself (ANY code with
+    exactly one participating symbol is zero bits per symbol, simple OR
+    normal header form), so no special-casing is needed here."""
     return _Prefix(lengths)
 
 
@@ -337,6 +351,12 @@ def _write_prefix(wr: _WL, lengths: List[int]):
     """Emit a prefix code: simple form when it fits (≤2 symbols, values
     ≤255), else the normal form with 16/17/18 run compression."""
     nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
+    if not nz:
+        # a code that is never used (e.g. distances with LZ77 off) must
+        # still be well-formed on the wire: libwebp REJECTS all-zero length
+        # tables ("all code lengths are zeros") and its own encoder writes
+        # unused codes as a simple single-symbol {0} — mirror that
+        nz = [(0, 1)]
     if 1 <= len(nz) <= 2 and all(s <= 255 for s, _ in nz):
         wr.bits(1, 1)  # simple
         wr.bits(len(nz) - 1, 1)

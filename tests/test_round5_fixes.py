@@ -122,3 +122,79 @@ class TestQualityPoolProbe:
         assert set(rows) == {0, 1}
         for r in rows.values():
             assert r["mse"] == 0.0 and r["psnr"] == 99.0
+
+
+class TestStreamingStateBounding:
+    def test_phash_lru_cap_retention_window(self, spark, tmp_path):
+        """max_state caps bucket state at the most-recent entries: a probe
+        arriving after older entries were evicted pairs ONLY against the
+        retention window (ids 3..6), never the evicted ids 1..2."""
+        import pyspark.sql.functions as F
+        from gdalcubes_spark.streaming import streaming_phash_dedup
+
+        src = str(tmp_path / "sigs")
+        ph = 0x0F0F0F0F0F0F0F  # identical phash → same bucket in every band
+        batch1 = spark.createDataFrame([(i, ph) for i in range(1, 7)], "id long, phash long").coalesce(1)
+        batch1.write.mode("overwrite").parquet(src)
+        spark.createDataFrame([(100, ph)], "id long, phash long").write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema("id long, phash long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_phash_dedup(stream, id_col="id", max_hamming=4,
+                                    sig_bits=60, max_state=4)
+        q = (out.writeStream.format("memory").queryName("lru_phash")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        probe_pairs = {r["ida"] for r in spark.sql(
+            "SELECT DISTINCT ida FROM lru_phash WHERE idb = 100").collect()}
+        assert probe_pairs == {3, 4, 5, 6}
+
+    def test_phash_ttl_plumbs_through(self, spark, tmp_path):
+        """A long TTL (nothing expires during the run) must not change the
+        emitted pairs — the ProcessingTimeTimeout wiring is exercised end to
+        end (setTimeoutDuration on every update)."""
+        from gdalcubes_spark.streaming import streaming_phash_dedup
+        import pyspark.sql.functions as F
+
+        src = str(tmp_path / "sigs_ttl")
+        d = spark.range(40)
+        h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        base = d.select("id", h.alias("phash"))
+        clones = base.select((F.col("id") + 500000).alias("id"), "phash")
+        base.write.mode("overwrite").parquet(src)
+        clones.write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema("id long, phash long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_phash_dedup(stream, id_col="id", max_hamming=4,
+                                    sig_bits=60, ttl="30 minutes")
+        q = (out.writeStream.format("memory").queryName("ttl_phash")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r["ida"], r["idb"]) for r in
+               spark.sql("SELECT DISTINCT ida, idb FROM ttl_phash").collect()}
+        assert got == {(i, i + 500000) for i in range(40)}
+
+    def test_embed_lru_cap_retention_window(self, spark, tmp_path):
+        """Same retention contract for the embedding near-dup: identical
+        vectors land in one bucket per table; with max_state=3 a late probe
+        pairs only against the last three arrivals."""
+        from gdalcubes_spark.streaming import streaming_embed_neardup
+
+        vec = [1.0, 2.0, 3.0, 4.0]
+        src = str(tmp_path / "emb")
+        b1 = spark.createDataFrame([(i, vec) for i in range(1, 6)],
+                                   "vec_id long, embedding array<double>").coalesce(1)
+        b1.write.mode("overwrite").parquet(src)
+        spark.createDataFrame([(100, vec)], "vec_id long, embedding array<double>") \
+            .write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_embed_neardup(stream, threshold=0.999, max_state=3)
+        q = (out.writeStream.format("memory").queryName("lru_emb")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        probe_pairs = {r["ida"] for r in spark.sql(
+            "SELECT DISTINCT ida FROM lru_emb WHERE idb = 100").collect()}
+        assert probe_pairs == {3, 4, 5}

@@ -4,8 +4,9 @@ Roundtrip property tests cover the encoder features (palette with bundling,
 subtract-green, greedy LZ77 with the short-distance plane map, color cache,
 zero-run/repeat code-length compression) against the full decoder; the
 decoder-only paths the encoder never emits (meta prefix groups, max_symbol
-short form) get hand-built bitstream vectors. A Pillow parity test runs
-wherever libwebp exists (skipif, same pattern as the jpeg seam test).
+short form) get hand-built bitstream vectors. The libwebp parity tests EXECUTE in this
+container via a ctypes binding to the system libwebp.so (libwebp.py) — both
+directions, bit-exact.
 
 Reference parity surface: the scan's GDAL-decodes-anything contract
 (/root/reference/src/gdalcubes/src/image_collection_cube.cpp:446-552).
@@ -228,25 +229,56 @@ if HAVE_HYP:
         assert _argb_equal(W.decode_vp8l(b), a)
 
 
-@pytest.mark.skipif(not HAVE_PIL_WEBP, reason="Pillow/libwebp not in this "
-                    "container — seam runs wherever it exists")
-class TestLibwebpParitySeam:
-    def test_libwebp_decodes_our_streams(self):
-        import io
+from gdalcubes_spark import libwebp as LW
 
-        import PIL.Image
+HAVE_LIBWEBP = LW.available()
+
+
+@pytest.mark.skipif(not HAVE_LIBWEBP, reason="no system libwebp — seam runs "
+                    "wherever the shared library exists")
+class TestLibwebpParitySeam:
+    """EXECUTED parity against the system libwebp via the ctypes binding
+    (gdalcubes_spark/libwebp.py) — no Pillow needed. This seam is what
+    caught the r4 wire bugs (kCodeLengthCodeOrder position of 16; the
+    zero-bit single-value code rule) the internal roundtrips could not."""
+
+    def test_libwebp_decodes_our_streams(self):
         a = _rand((3, 24, 31), seed=4)
-        for kw in ({}, dict(transform="predictor"), dict(transform=None)):
+        for kw in ({}, dict(transform="predictor"), dict(transform=None),
+                   dict(transform="color"), dict(transform="subgreen"),
+                   dict(use_lz77=False), dict(cache_bits=0)):
             b = W.encode_vp8l(a, **kw)
-            theirs = np.array(PIL.Image.open(io.BytesIO(b)).convert("RGB")).transpose(2, 0, 1)
-            assert np.array_equal(theirs, a)  # lossless: bit-exact both ways
+            d = LW.decode_rgba(b)
+            assert np.array_equal(d[:3], a) and (d[3] == 255).all(), kw
+
+    def test_libwebp_decodes_our_palette_and_grey(self):
+        pal = _rand((5, 3), seed=6)
+        idx = np.random.default_rng(7).integers(0, 5, (20, 13))
+        a = pal[idx].transpose(2, 0, 1).astype(np.uint8)
+        d = LW.decode_rgba(W.encode_vp8l(a))
+        assert np.array_equal(d[:3], a)
+        g = _rand((1, 40, 37), seed=8)
+        d = LW.decode_rgba(W.encode_vp8l(g))
+        assert all(np.array_equal(d[i], g[0]) for i in range(3))
 
     def test_we_decode_libwebp_streams(self):
-        import io
+        for shape, seed in (((3, 24, 31), 5), ((3, 64, 64), 7), ((3, 33, 17), 9),
+                            ((1, 16, 16), 2)):
+            a = _rand(shape, seed=seed)
+            out = W.decode_vp8l(LW.encode_lossless_rgba(a))
+            if shape[0] == 1:
+                assert np.array_equal(out[2], a[0])
+            else:
+                assert np.array_equal(out[1:], a)
 
-        import PIL.Image
-        a = _rand((3, 24, 31), seed=5)
-        buf = io.BytesIO()
-        PIL.Image.fromarray(a.transpose(1, 2, 0)).save(buf, format="WEBP", lossless=True)
-        out = W.decode_vp8l(buf.getvalue())
+    def test_we_decode_libwebp_gradient_mode13(self):
+        """Smooth gradients push libwebp into the predictor transform
+        (incl. ClampAddSubtractHalf) — guards the trunc-toward-zero fix."""
+        x, y = np.arange(48), np.arange(40)
+        grad = ((x[None, :] * 3 + y[:, None] * 5) % 256).astype(np.uint8)
+        a = np.stack([grad, (grad.astype(int) * 2 % 256).astype(np.uint8), 255 - grad])
+        out = W.decode_vp8l(LW.encode_lossless_rgba(a))
         assert np.array_equal(out[1:], a)
+        b = W.encode_vp8l(a, transform="predictor")
+        d = LW.decode_rgba(b)
+        assert np.array_equal(d[:3], a)
