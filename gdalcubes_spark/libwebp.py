@@ -70,6 +70,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.WebPEncodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_float,
                                   ctypes.POINTER(u8p)]
+    u8pp = ctypes.POINTER(u8p)
+    lib.WebPDecodeYUV.restype = u8p
+    lib.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int),
+                                  u8pp, u8pp,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
     lib.WebPGetInfo.restype = ctypes.c_int
     lib.WebPGetInfo.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                 ctypes.POINTER(ctypes.c_int),
@@ -94,6 +102,38 @@ def decode_rgba(data: bytes) -> np.ndarray:
     finally:
         lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
     return buf.reshape(h.value, w.value, 4).transpose(2, 0, 1)
+
+
+def decode_yuv(data: bytes) -> tuple:
+    """WebP bytes → (y, u, v) uint8 planes — the spec-exact VP8 output.
+
+    VP8 decoding is bit-exact by construction (RFC 6386 §2) in YUV420
+    space; the RGB conversion is implementation-defined.  This is the
+    parity oracle for the pure-Python key-frame decoder (vp8codec.py).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("no system libwebp available")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(up), ctypes.byref(vp),
+                           ctypes.byref(stride), ctypes.byref(uv_stride))
+    if not yp:
+        raise ValueError("libwebp failed to decode stream (YUV)")
+    try:
+        W, H, s, us = w.value, h.value, stride.value, uv_stride.value
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+        y = np.ctypeslib.as_array(yp, shape=(H * s,)).reshape(H, s)[:, :W].copy()
+        u = np.ctypeslib.as_array(up, shape=(ch * us,)).reshape(ch, us)[:, :cw].copy()
+        v = np.ctypeslib.as_array(vp, shape=(ch * us,)).reshape(ch, us)[:, :cw].copy()
+    finally:
+        lib.WebPFree(ctypes.cast(yp, ctypes.c_void_p))
+    return y, u, v
 
 
 def _rgb_hw3(a: np.ndarray) -> np.ndarray:

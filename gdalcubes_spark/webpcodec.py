@@ -13,8 +13,9 @@ Scope:
   color cache, LZ77 backward references with the 120-entry short-distance
   plane map, meta prefix (Huffman image) groups, and all four transforms
   (predictor with its 14 modes, cross-color, subtract-green, color indexing
-  incl. sub-byte pixel bundling). Lossy VP8 chunks raise NotImplementedError
-  (DCT lossy webp needs libwebp).
+  incl. sub-byte pixel bundling). Lossy VP8 (key-frame DCT) containers are
+  handled by the separate RFC 6386 decoder in vp8codec.py — codecs.decode
+  dispatches on the container chunk tag; this module stays VP8L-only.
 - encode: spec-valid lossless streams — subtract-green or palette
   (color-indexing, with bundling) transforms chosen automatically, greedy
   hash-chain LZ77, optional color cache, canonical length-limited prefix
@@ -795,7 +796,9 @@ def decode_vp8l(data: bytes) -> np.ndarray:
             payload = data[pos + 8:pos + 8 + sz]
             break
         if tag == b"VP8 ":
-            raise NotImplementedError("lossy VP8 webp needs libwebp (STUB seam)")
+            raise ValueError(
+                "lossy VP8 chunk — use codecs.decode (dispatches to "
+                "vp8codec.decode_vp8_yuv), not the VP8L decoder")
         pos += 8 + sz + (sz & 1)
     if payload is None:
         raise ValueError("no VP8L chunk")

@@ -87,10 +87,12 @@ class TestRoundtrip:
         a = ((xx + yy) % 256).astype(np.uint8)[None]
         assert len(W.encode_vp8l(a)) < 64 * 64  # far below 1 byte/px raw
 
-    def test_lossy_vp8_raises(self):
+    def test_lossy_vp8_routed_away_from_vp8l(self):
+        """Lossy containers are vp8codec's job now; the VP8L decoder
+        refuses them with a pointer instead of misparsing."""
         import struct
         fake = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + struct.pack("<I", 0)
-        with pytest.raises(NotImplementedError, match="lossy"):
+        with pytest.raises(ValueError, match="vp8codec"):
             W.decode_vp8l(fake)
 
 
