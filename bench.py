@@ -230,6 +230,42 @@ def make_queries(sf: float):
         imgs = generate_images(spark, max(256, n_images // 4), lay)
         return decode_features(imgs, resize=(8, 8)).count()
 
+    def codec_decode_vp8(spark, sf_dir):
+        """Lossy VP8 (key-frame) decode throughput — the dominant real-world
+        webp flavor, stub closed in r5.  Inventory bytes are libwebp-encoded
+        (executor-side), decode is the pure-Python RFC 6386 path; the row
+        tracks its CPU cost against the documented native swap-in
+        (GDALCUBES_SPARK_USE_LIBWEBP=1, ~150x less)."""
+        from gdalcubes_spark import libwebp
+        if not libwebp.available():
+            return 0
+        import pandas as pd
+
+        from gdalcubes_spark.pipeline.multimodal import decode_features
+        from gdalcubes_spark.synth import IMAGE_SCHEMA, ImageLayout, make_row
+        lay = ImageLayout(gx=grid, gy=grid, ntime=ntime, tile_w=32, tile_h=32,
+                          nb=3, fmts=("raw",))
+        n = max(256, n_images // 4)
+        cols = [f.name for f in IMAGE_SCHEMA.fields]
+
+        def gen(batches):
+            from gdalcubes_spark import libwebp as lw
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    r = make_row(int(i), lay)
+                    r["bytes"] = bytearray(
+                        lw.encode_lossy_rgb(lay.pixels(int(i)), 75.0))
+                    r["fmt"] = "webp"
+                    rows.append(r)
+                yield (pd.DataFrame(rows, columns=cols) if rows else
+                       pd.DataFrame({c: pd.Series(dtype="object")
+                                     for c in cols}))
+
+        imgs = spark.range(0, n, numPartitions=32).mapInPandas(
+            gen, IMAGE_SCHEMA)
+        return decode_features(imgs, resize=(8, 8)).count()
+
     return {
         "scan_zonal": scan_zonal,
         "scan_scaling": scan_scaling,
@@ -242,6 +278,7 @@ def make_queries(sf: float):
         "text_stats": text_stats,
         "semantic_dedup": semantic_dedup,
         "codec_decode": codec_decode,
+        "codec_decode_vp8": codec_decode_vp8,
     }
 
 

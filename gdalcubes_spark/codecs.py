@@ -250,8 +250,24 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     pass it via `nb` to pin the output shape (4 = keep ARGB as stored,
     3 = RGB even if grey, 1 = grey)."""
     if _webp_chunk_tag(b) == b"VP8 ":
-        from gdalcubes_spark.vp8codec import decode_vp8_yuv, yuv_to_rgb
-        y, u, v = decode_vp8_yuv(_webp_vp8_payload(b))
+        import os
+        if os.environ.get("GDALCUBES_SPARK_USE_LIBWEBP") == "1":
+            # Opt-in native fast path (~150x less decode CPU; the 100 TB
+            # deployment knob).  VP8 YUV reconstruction is spec-exact, so
+            # the luma/RGB results are identical to the pure-Python path
+            # (executed parity, tests/test_vp8codec.py); only availability
+            # differs — falls back silently when no libwebp is present.
+            from gdalcubes_spark import libwebp
+            if libwebp.available():
+                from gdalcubes_spark.vp8codec import yuv_to_rgb
+                y, u, v = libwebp.decode_yuv(b)
+            else:
+                from gdalcubes_spark.vp8codec import (decode_vp8_yuv,
+                                                      yuv_to_rgb)
+                y, u, v = decode_vp8_yuv(_webp_vp8_payload(b))
+        else:
+            from gdalcubes_spark.vp8codec import decode_vp8_yuv, yuv_to_rgb
+            y, u, v = decode_vp8_yuv(_webp_vp8_payload(b))
         if nb == 1:
             return y[None, :, :]
         if nb == 4:

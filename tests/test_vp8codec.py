@@ -170,6 +170,19 @@ def test_scan_over_lossy_webp_inventory(spark):
     assert abs(got - ref) < 3.0
 
 
+def test_native_fastpath_identical(monkeypatch):
+    """GDALCUBES_SPARK_USE_LIBWEBP=1 swaps the decode engine, not the
+    result: VP8 YUV reconstruction is spec-exact in both."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (3, 33, 49), np.uint8)
+    b = libwebp.encode_lossy_rgb(img, 70.0)
+    pure = codecs.decode(b, "webp", nb=3)
+    pure1 = codecs.decode(b, "webp", nb=1)
+    monkeypatch.setenv("GDALCUBES_SPARK_USE_LIBWEBP", "1")
+    np.testing.assert_array_equal(codecs.decode(b, "webp", nb=3), pure)
+    np.testing.assert_array_equal(codecs.decode(b, "webp", nb=1), pure1)
+
+
 def test_rgb_conversion_properties():
     """Documented fixed-point YUV→RGB: monotone in Y, exact on greys."""
     y = np.full((2, 2), 128, np.uint8)
