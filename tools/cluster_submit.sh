@@ -10,6 +10,10 @@
 #
 # Usage:
 #   tools/cluster_submit.sh                               # local[8] smoke
+#   LOCAL_CLUSTER=1 tools/cluster_submit.sh               # 2 real executor
+#       # processes (local-cluster[2,2,1024]): exercises broadcast/closure
+#       # serialization and per-executor Python workers across process
+#       # boundaries without real nodes — the multi-executor smoke drill
 #   MASTER=spark://host:7077 EXECUTORS=8 tools/cluster_submit.sh
 #   MASTER=yarn EXECUTORS=32 OUT=hdfs:///cubes/flagship tools/cluster_submit.sh
 #
@@ -23,6 +27,9 @@
 set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+if [ -n "${LOCAL_CLUSTER:-}" ]; then
+    MASTER="${MASTER:-local-cluster[2,2,1024]}"
+fi
 MASTER="${MASTER:-local[8]}"
 EXECUTORS="${EXECUTORS:-}"          # empty → master default / local threads
 N_IMAGES="${N_IMAGES:-512}"
