@@ -203,34 +203,22 @@ def _webp_encode(a: np.ndarray) -> bytes:
     return encode_vp8l(a)
 
 
-def _webp_chunk_tag(b: bytes) -> bytes:
-    """First image chunk tag of a WebP container (b'VP8 ', b'VP8L', ...)."""
+def _webp_chunks(b: bytes):
+    """(image_tag, image_payload, alph_payload|None) of a WebP container.
+    Walks VP8X extended containers; ANIM/EXIF/etc. chunks are skipped."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     pos = 12
+    alph = None
     while pos + 8 <= len(b):
         tag = b[pos:pos + 4]
-        if tag in (b"VP8 ", b"VP8L"):
-            return tag
-        if tag == b"ALPH":
-            raise NotImplementedError(
-                "lossy WebP with separate alpha (ALPH chunk) is a library "
-                "seam — swap in libwebp.decode_rgba on a real deployment")
         sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if tag in (b"VP8 ", b"VP8L"):
+            return tag, b[pos + 8:pos + 8 + sz], alph
+        if tag == b"ALPH":
+            alph = b[pos + 8:pos + 8 + sz]
         pos += 8 + sz + (sz & 1)
     raise ValueError("no VP8/VP8L chunk in WebP container")
-
-
-def _webp_vp8_payload(b: bytes) -> bytes:
-    """The raw VP8 chunk payload of a lossy WebP container."""
-    pos = 12
-    while pos + 8 <= len(b):
-        tag = b[pos:pos + 4]
-        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
-        if tag == b"VP8 ":
-            return b[pos + 8:pos + 8 + sz]
-        pos += 8 + sz + (sz & 1)
-    raise ValueError("no VP8 chunk")
 
 
 def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
@@ -241,7 +229,10 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
       (4→3), grey stored as r=g=b folded (3→1).
     - VP8 (lossy key frame): pure-Python RFC 6386 decoder (vp8codec.py),
       bit-exact in YUV420 vs libwebp; nb=1 returns the luma plane, nb=3
-      (or default) the documented fixed-point RGB conversion.
+      (or default) the documented fixed-point RGB conversion.  An ALPH
+      chunk (lossy + alpha, VP8X container) is decoded losslessly
+      (webpcodec.decode_alpha) and prepended: nb=4 pins ARGB; the default
+      keeps ARGB only when the alpha plane is non-opaque.
 
     CAVEAT: the collapse means band count is NOT a roundtrip invariant for
     arbitrary external payloads — a genuine RGB image whose channels happen
@@ -249,7 +240,8 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     (common) collapses to 3. Inventories that declare a band count should
     pass it via `nb` to pin the output shape (4 = keep ARGB as stored,
     3 = RGB even if grey, 1 = grey)."""
-    if _webp_chunk_tag(b) == b"VP8 ":
+    tag, payload, alph = _webp_chunks(b)
+    if tag == b"VP8 ":
         import os
         if os.environ.get("GDALCUBES_SPARK_USE_LIBWEBP") == "1":
             # Opt-in native fast path (~150x less decode CPU; the 100 TB
@@ -264,15 +256,25 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
             else:
                 from gdalcubes_spark.vp8codec import (decode_vp8_yuv,
                                                       yuv_to_rgb)
-                y, u, v = decode_vp8_yuv(_webp_vp8_payload(b))
+                y, u, v = decode_vp8_yuv(payload)
         else:
             from gdalcubes_spark.vp8codec import decode_vp8_yuv, yuv_to_rgb
-            y, u, v = decode_vp8_yuv(_webp_vp8_payload(b))
+            y, u, v = decode_vp8_yuv(payload)
         if nb == 1:
             return y[None, :, :]
+        alpha = None
+        if alph is not None and (nb is None or nb == 4):
+            from gdalcubes_spark.webpcodec import decode_alpha
+            alpha = decode_alpha(alph, y.shape[1], y.shape[0])
         if nb == 4:
-            raise ValueError("lossy VP8 carries no alpha (nb=4 invalid)")
+            if alpha is None:
+                raise ValueError(
+                    "lossy VP8 without an ALPH chunk has no alpha "
+                    "(nb=4 invalid)")
+            return np.concatenate([alpha[None], yuv_to_rgb(y, u, v)])
         rgb = yuv_to_rgb(y, u, v)
+        if nb is None and alpha is not None and not (alpha == 255).all():
+            return np.concatenate([alpha[None], rgb])
         if nb is None and np.array_equal(rgb[0], rgb[1]) \
                 and np.array_equal(rgb[1], rgb[2]):
             return rgb[:1]

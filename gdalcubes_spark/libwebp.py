@@ -70,6 +70,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.WebPEncodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_float,
                                   ctypes.POINTER(u8p)]
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_float, ctypes.POINTER(u8p)]
     u8pp = ctypes.POINTER(u8p)
     lib.WebPDecodeYUV.restype = u8p
     lib.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -164,6 +168,29 @@ def encode_lossless_rgba(a: np.ndarray) -> bytes:
     n = lib.WebPEncodeLosslessRGBA(rgba.tobytes(), w, h, w * 4, ctypes.byref(out))
     if n == 0:
         raise ValueError("libwebp lossless encode failed")
+    try:
+        return bytes(np.ctypeslib.as_array(out, shape=(n,)))
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+def encode_lossy_rgba(a: np.ndarray, quality: float = 75.0) -> bytes:
+    """uint8 (4, h, w) ARGB planes → LOSSY WebP (VP8 key frame + ALPH
+    alpha chunk in a VP8X container) via libwebp — the test-vector
+    generator for the ALPH decode path."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("no system libwebp available")
+    if a.ndim != 3 or a.shape[0] != 4:
+        raise ValueError("expected (4, h, w) ARGB planes")
+    rgba = np.ascontiguousarray(
+        np.stack([a[1], a[2], a[3], a[0]], axis=-1))
+    h, w = rgba.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(rgba.tobytes(), w, h, w * 4,
+                           ctypes.c_float(quality), ctypes.byref(out))
+    if n == 0:
+        raise ValueError("libwebp lossy RGBA encode failed")
     try:
         return bytes(np.ctypeslib.as_array(out, shape=(n,)))
     finally:

@@ -304,7 +304,15 @@ def streaming_phash_dedup(stream: DataFrame, id_col: str = "image_id",
     — the retention contract is "new images pair against the last max_state
     bucket-mates"); `ttl` (e.g. "30 minutes") additionally drops buckets
     that have been idle for the duration via a processing-time timeout.
-    Defaults: max_state=65536 (bounded out of the box), ttl off."""
+    Defaults: max_state=65536 (bounded out of the box), ttl off.
+
+    CAVEAT: `ttl` requires a continuous trigger (e.g.
+    trigger(processingTime=...)).  Under Trigger.AvailableNow, Spark can
+    only fire the registered processing-time timeouts by running more
+    batches, so it busy-loops "no new data but cleaning up state" batches
+    until every timeout expires and the query never self-terminates
+    (observed: ~100 empty batches/min).  In batch-drain harnesses leave
+    ttl off — max_state already bounds state without a timeout."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

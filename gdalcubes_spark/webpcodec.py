@@ -810,7 +810,16 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     rd.bit()  # alpha-is-used hint
     if rd.bits(3) != 0:
         raise ValueError("unsupported VP8L version")
+    img = _decode_image_stream(rd, w, h)
+    return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
+                     (img >> 8) & 0xFF, img & 0xFF]).astype(np.uint8)
 
+
+def _decode_image_stream(rd: "_RL", w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image-stream (transform chain + entropy-coded ARGB)
+    → (h, w) uint32 ARGB.  Factored out of decode_vp8l because the ALPH
+    alpha chunk embeds exactly this stream with implicit dimensions
+    (RFC 9649 alpha: 'image-stream without any size headers')."""
     transforms = []
     xsize = w
     while rd.bit():
@@ -870,8 +879,64 @@ def decode_vp8l(data: bytes) -> np.ndarray:
         else:
             img = _inv_predictor(img, t[2], t[1])
 
-    return np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
-                     (img >> 8) & 0xFF, img & 0xFF]).astype(np.uint8)
+    return img
+
+
+def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload → (h, w) uint8 alpha plane (RFC 9649 Alpha).
+
+    Header byte: compression (2 bits: 0 raw, 1 VP8L image-stream with the
+    alpha in the GREEN channel), filtering method (2 bits: none /
+    horizontal / vertical / gradient, inverted after decode), level-
+    reduction preprocessing (decode no-op).  Unfilter semantics match
+    libwebp dsp/filters.c (first pixel of a row predicts from the previous
+    row's first pixel; first row falls back to horizontal)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    b0 = payload[0]
+    compression = b0 & 3
+    filtering = (b0 >> 2) & 3
+    data = payload[1:]
+    if compression == 0:
+        if len(data) < w * h:
+            raise ValueError("raw ALPH chunk too short")
+        alpha = np.frombuffer(data[:w * h], np.uint8).reshape(h, w) \
+            .astype(np.int32)
+    elif compression == 1:
+        img = _decode_image_stream(_RL(data), w, h)
+        alpha = ((img >> 8) & 0xFF).astype(np.int32)  # green channel
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+
+    if filtering == 0:
+        return alpha.astype(np.uint8)
+    out = np.empty((h, w), np.int32)
+    if filtering == 1:  # horizontal: left; row head chains from row above
+        pred0 = 0
+        for y in range(h):
+            row = np.cumsum(alpha[y], dtype=np.int64) + pred0
+            out[y] = row & 0xFF
+            pred0 = int(out[y, 0])
+    elif filtering == 2:  # vertical: above; first row horizontal
+        out[0] = np.cumsum(alpha[0], dtype=np.int64) & 0xFF
+        out[1:] = (np.cumsum(alpha[1:], axis=0, dtype=np.int64)
+                   + out[0][None, :]) & 0xFF
+    else:  # gradient: clip(left + above - above_left); first row horizontal
+        out[0] = np.cumsum(alpha[0], dtype=np.int64) & 0xFF
+        for y in range(1, h):
+            prev = out[y - 1]
+            row = alpha[y]
+            o = out[y]
+            left = int(prev[0])
+            top_left = left
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(row[x]) + g) & 0xFF
+                top_left = top
+                o[x] = left
+    return out.astype(np.uint8)
 
 
 # ------------------------------------------------------------------ encode

@@ -168,12 +168,26 @@ class TestStreamingStateBounding:
                   .option("maxFilesPerTrigger", 1).parquet(src))
         out = streaming_phash_dedup(stream, id_col="id", max_hamming=4,
                                     sig_bits=60, ttl="30 minutes")
+        # ttl registers processing-time timeouts, which AvailableNow can
+        # only fire by busy-looping empty batches until they expire — so
+        # run under the trigger ttl is FOR (see the caveat in streaming.py)
+        # and poll the sink until the expected pairs land.
+        import time
         q = (out.writeStream.format("memory").queryName("ttl_phash")
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-        got = {(r["ida"], r["idb"]) for r in
-               spark.sql("SELECT DISTINCT ida, idb FROM ttl_phash").collect()}
-        assert got == {(i, i + 500000) for i in range(40)}
+             .outputMode("append").trigger(processingTime="1 second")
+             .start())
+        want = {(i, i + 500000) for i in range(40)}
+        got = set()
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline and got != want:
+                time.sleep(2)
+                got = {(r["ida"], r["idb"]) for r in spark.sql(
+                    "SELECT DISTINCT ida, idb FROM ttl_phash").collect()}
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        assert got == want
 
     def test_embed_lru_cap_retention_window(self, spark, tmp_path):
         """Same retention contract for the embedding near-dup: identical

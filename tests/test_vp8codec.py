@@ -183,6 +183,90 @@ def test_native_fastpath_identical(monkeypatch):
     np.testing.assert_array_equal(codecs.decode(b, "webp", nb=1), pure1)
 
 
+def _rebuild_with_alpha(b: bytes, alph_payload: bytes) -> bytes:
+    j = 12
+    chunks = []
+    while j + 8 <= len(b):
+        tag, sz = b[j:j + 4], int.from_bytes(b[j + 4:j + 8], "little")
+        chunks.append((tag, b[j + 8:j + 8 + sz]))
+        j += 8 + sz + (sz & 1)
+    body = bytearray(b"WEBP")
+    for tag, pl in chunks:
+        if tag == b"ALPH":
+            pl = alph_payload
+        body += tag + len(pl).to_bytes(4, "little") + pl
+        if len(pl) & 1:
+            body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + bytes(body)
+
+
+def _forward_alpha_filter(alpha: np.ndarray, method: int) -> np.ndarray:
+    h, w = alpha.shape
+    A = alpha.astype(np.int32)
+    R = np.zeros_like(A)
+    for y in range(h):
+        for x in range(w):
+            if method == 1:
+                p = A[y - 1, 0] if x == 0 and y > 0 else \
+                    (0 if x == 0 else A[y, x - 1])
+            elif method == 2:
+                p = (0 if x == 0 else A[0, x - 1]) if y == 0 else A[y - 1, x]
+            else:
+                if y == 0:
+                    p = 0 if x == 0 else A[0, x - 1]
+                else:
+                    left = A[y, x - 1] if x > 0 else A[y - 1, 0]
+                    tl = A[y - 1, x - 1] if x > 0 else A[y - 1, 0]
+                    g = left + A[y - 1, x] - tl
+                    p = 0 if g < 0 else (255 if g > 255 else g)
+            R[y, x] = (A[y, x] - p) & 0xFF
+    return R.astype(np.uint8)
+
+
+def test_alph_chunk_lossy_alpha():
+    """Lossy WebP + ALPH alpha (VP8X container): alpha is lossless, so the
+    decoded plane must equal libwebp's bit-for-bit — raw AND
+    VP8L-compressed alpha, plus the nb pinning and opaque-collapse rules."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (4, 24, 40), np.uint8)  # noisy → raw alpha
+    yy, xx = np.mgrid[0:24, 0:40]
+    smooth = a.copy()
+    smooth[0] = np.clip(yy * 5 + xx * 2, 0, 255).astype(np.uint8)
+    for planes in (a, smooth):
+        b = libwebp.encode_lossy_rgba(planes, 75.0)
+        ref = libwebp.decode_rgba(b)  # (4,h,w) RGBA plane order
+        got = codecs.decode(b, "webp")
+        assert got.shape[0] == 4  # non-opaque alpha → ARGB kept
+        np.testing.assert_array_equal(got[0], ref[3])
+        np.testing.assert_array_equal(codecs.decode(b, "webp", nb=4)[0],
+                                      ref[3])
+        assert codecs.decode(b, "webp", nb=3).shape[0] == 3
+    # fully-opaque alpha: libwebp drops the ALPH chunk, we collapse to RGB
+    opaque = a.copy()
+    opaque[0] = 255
+    got = codecs.decode(libwebp.encode_lossy_rgba(opaque, 75.0), "webp")
+    assert got.shape[0] == 3
+
+
+@pytest.mark.parametrize("method", [1, 2, 3])
+def test_alph_filter_modes(method):
+    """Crafted raw-compression ALPH chunks exercising the horizontal /
+    vertical / gradient unfilters; libwebp decodes the spliced container
+    as the oracle (and round-trips the crafted residuals to the original
+    alpha, validating the forward filter used to craft them)."""
+    rng = np.random.default_rng(9)
+    base = libwebp.encode_lossy_rgba(
+        rng.integers(0, 256, (4, 24, 40), np.uint8), 75.0)
+    alpha = rng.integers(0, 256, (24, 40), np.uint8)
+    payload = bytes([method << 2]) + \
+        _forward_alpha_filter(alpha, method).tobytes()
+    spliced = _rebuild_with_alpha(base, payload)
+    ref = libwebp.decode_rgba(spliced)
+    np.testing.assert_array_equal(ref[3], alpha)
+    np.testing.assert_array_equal(codecs.decode(spliced, "webp", nb=4)[0],
+                                  alpha)
+
+
 def test_rgb_conversion_properties():
     """Documented fixed-point YUV→RGB: monotone in Y, exact on greys."""
     y = np.full((2, 2), 128, np.uint8)
