@@ -901,9 +901,62 @@ def _alloc_blocks(comps, h, w, dtype):
             for c in comps]
 
 
+def _fancy_h2v1(p: np.ndarray) -> np.ndarray:
+    """libjpeg jdsample.c h2v1_fancy_upsample, vectorized: horizontal 1→2
+    triangular filter in exact integer arithmetic. (h, w) → (h, 2w)."""
+    h, w = p.shape
+    if w == 1:
+        return np.repeat(p, 2, axis=1)
+    out = np.empty((h, 2 * w), np.int32)
+    t3 = 3 * p
+    out[:, 0] = p[:, 0]
+    out[:, 2::2] = (t3[:, 1:] + p[:, :-1] + 1) >> 2
+    out[:, 1:-1:2] = (t3[:, :-1] + p[:, 1:] + 2) >> 2
+    out[:, -1] = p[:, -1]
+    return out
+
+
+def _fancy_h1v2(p: np.ndarray) -> np.ndarray:
+    """libjpeg-turbo h1v2_fancy_upsample: vertical 1→2 triangular filter.
+    (h, w) → (2h, w)."""
+    t3 = 3 * p
+    above = np.vstack([p[:1], p[:-1]])
+    below = np.vstack([p[1:], p[-1:]])
+    out = np.empty((2 * p.shape[0], p.shape[1]), np.int32)
+    out[0::2] = (t3 + above + 1) >> 2
+    out[1::2] = (t3 + below + 2) >> 2
+    return out
+
+
+def _fancy_h2v2(p: np.ndarray) -> np.ndarray:
+    """libjpeg jdsample.c h2v2_fancy_upsample: 2×2 triangular filter on
+    3:1 column sums, exact integer arithmetic. (h, w) → (2h, 2w)."""
+    h, w = p.shape
+    if w == 1 or h == 1:
+        return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+    cs = np.empty((2 * h, w), np.int32)  # 3*nearer + farther row sums
+    t3 = 3 * p
+    cs[0::2] = t3 + np.vstack([p[:1], p[:-1]])
+    cs[1::2] = t3 + np.vstack([p[1:], p[-1:]])
+    out = np.empty((2 * h, 2 * w), np.int32)
+    c3 = 3 * cs
+    out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+    out[:, 2::2] = (c3[:, 1:] + cs[:, :-1] + 8) >> 4
+    out[:, 1:-1:2] = (c3[:, :-1] + cs[:, 1:] + 7) >> 4
+    out[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+    return out
+
+
 def _reconstruct(blocks, comps, qts, nbx, nby, max_h, max_v, h, w) -> np.ndarray:
     """Dequantize + IDCT (whole-component einsum) + upsample + color — shared
-    by the baseline and progressive entropy decoders."""
+    by the baseline and progressive entropy decoders.
+
+    Chroma upsampling uses libjpeg's default "fancy" triangular filter
+    (jdsample.c h2v1/h1v2/h2v2 integer semantics, applied to range-limited
+    uint8-domain samples like libjpeg does) — box replication was ~23 dB
+    against libjpeg on noisy 4:2:0 content; the triangular filter is the
+    de-facto decode contract of real-world JPEG. Other sampling ratios
+    fall back to replication."""
     planes = []
     for ci, comp in enumerate(comps):
         q = qts[comp["tq"]]
@@ -912,7 +965,20 @@ def _reconstruct(blocks, comps, qts, nbx, nby, max_h, max_v, h, w) -> np.ndarray
         plane = pix.transpose(0, 2, 1, 3).reshape(nby[ci] * 8, nbx[ci] * 8)
         sy, sx = max_v // comp["v"], max_h // comp["h"]
         if sy > 1 or sx > 1:
-            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+            # libjpeg range-limits samples BEFORE upsampling
+            p8 = np.clip(np.round(plane), 0, 255).astype(np.int32)
+            # crop the MCU padding first: the triangular filter must see
+            # the true right/bottom edge, not padding garbage
+            p8 = p8[: -(-h // sy), : -(-w // sx)]
+            if (sy, sx) == (1, 2):
+                plane = _fancy_h2v1(p8)
+            elif (sy, sx) == (2, 1):
+                plane = _fancy_h1v2(p8)
+            elif (sy, sx) == (2, 2):
+                plane = _fancy_h2v2(p8)
+            else:
+                plane = np.repeat(np.repeat(p8, sy, axis=0), sx, axis=1)
+            plane = plane.astype(np.float64)
         planes.append(plane[:h, :w])
     n_comp = len(comps)
     if n_comp == 1:
