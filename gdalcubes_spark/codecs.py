@@ -14,6 +14,10 @@ input table.
   round-1/2 deterministic stub payloads (GCJ1) remain decodable.
 - "tif":  real tiled-Deflate GeoTIFF via the in-repo pure-numpy codec
   (tiffcodec.py; TIFF 6.0 + GeoTIFF 1.1) — lossless, any band count.
+- "webp": lossless VP8L (RFC 9649) encode/decode + lossy VP8 key-frame
+  decode (RFC 6386) incl. ALPH alpha (webpcodec.py / vp8codec.py).
+- "gif":  GIF87a/89a (gifcodec.py; LZW both directions, interlace,
+  transparency, animation via decode_gif_frames) — giflib-parity-tested.
 
 Decoded pixel values are uint8 (0..255) → float64 at cube level, like GDAL
 band data entering gdalcubes (image_collection.h:49).
@@ -221,6 +225,136 @@ def _webp_chunks(b: bytes):
     raise ValueError("no VP8/VP8L chunk in WebP container")
 
 
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return tag + len(payload).to_bytes(4, "little") + payload \
+        + (b"\x00" if len(payload) & 1 else b"")
+
+
+def webp_decode_frames(b: bytes):
+    """Animated WebP (RFC 9649 VP8X/ANIM/ANMF) → (frames, durations_ms):
+    composited (4, H, W) uint8 ARGB canvases, one per ANMF frame.
+
+    Each frame's image data (optional ALPH + VP8/VP8L) is decoded by
+    rebuilding a minimal single-image container through _webp_decode, so
+    the lossy/lossless/alpha paths (and the libwebp opt-in) are shared.
+    Blending bit 0 alpha-composites with the RFC's over operator; the
+    dispose bit clears the frame rect to transparent (the browser-
+    observable behavior for the default transparent background).
+    Non-animated containers return their single image as one frame."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    pos = 12
+    canvas_wh = None
+    frames: list = []
+    durations: list = []
+    canvas = None
+    saw_anmf = False
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        payload = b[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+        if tag == b"VP8X":
+            cw = int.from_bytes(payload[4:7], "little") + 1
+            ch = int.from_bytes(payload[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+            canvas = np.zeros((4, ch, cw), np.uint8)
+        elif tag == b"ANMF":
+            saw_anmf = True
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            flags = payload[15]
+            blend = not (flags & 2)       # 0 = alpha-blend, 1 = overwrite
+            dispose = bool(flags & 1)     # 1 = clear rect after frame
+            sub = payload[16:]
+            body = bytearray(b"WEBP")
+            spos = 0
+            has_alpha = False
+            while spos + 8 <= len(sub):
+                stag = sub[spos:spos + 4]
+                ssz = int.from_bytes(sub[spos + 4:spos + 8], "little")
+                if stag == b"ALPH":
+                    has_alpha = True
+                body += _chunk(stag, sub[spos + 8:spos + 8 + ssz])
+                spos += 8 + ssz + (ssz & 1)
+            if has_alpha:  # ALPH needs a VP8X wrapper to be well-formed
+                vp8x = bytes([0x10, 0, 0, 0]) \
+                    + (fw - 1).to_bytes(3, "little") \
+                    + (fh - 1).to_bytes(3, "little")
+                body = bytearray(b"WEBP") + _chunk(b"VP8X", vp8x) \
+                    + bytes(body[4:])
+            fb = b"RIFF" + len(body).to_bytes(4, "little") + bytes(body)
+            img = _webp_decode(fb)
+            if img.shape[0] == 1:
+                img = np.repeat(img, 3, axis=0)
+            if img.shape[0] == 3:
+                img = np.concatenate(
+                    [np.full((1,) + img.shape[1:], 255, np.uint8), img])
+            if canvas is None:
+                canvas = np.zeros((4, fh, fw), np.uint8)
+            region = canvas[:, fy:fy + fh, fx:fx + fw]
+            if not blend:
+                region[:] = img
+            else:
+                sa = img[0].astype(np.uint32)
+                da = region[0].astype(np.uint32)
+                oa = sa + da * (255 - sa) // 255
+                safe = np.maximum(oa, 1)
+                for c in range(1, 4):
+                    sc = img[c].astype(np.uint32)
+                    dc = region[c].astype(np.uint32)
+                    region[c] = ((sc * sa + dc * da * (255 - sa) // 255)
+                                 // safe).astype(np.uint8)
+                region[0] = oa.astype(np.uint8)
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose:
+                canvas[:, fy:fy + fh, fx:fx + fw] = 0
+    if not saw_anmf:
+        img = _webp_decode(b)
+        if img.shape[0] == 1:
+            img = np.repeat(img, 3, axis=0)
+        if img.shape[0] == 3:
+            img = np.concatenate(
+                [np.full((1,) + img.shape[1:], 255, np.uint8), img])
+        return [img], [0]
+    if canvas_wh is None:
+        raise ValueError("animated WebP without a VP8X chunk")
+    return frames, durations
+
+
+def webp_encode_animation(frames, durations_ms, loop: int = 0) -> bytes:
+    """[(4|3|1, H, W) uint8, ...] → animated WebP (VP8X/ANIM/ANMF with
+    lossless VP8L frame payloads, full-canvas, no-blend).  durations_ms
+    per frame; loop 0 = forever."""
+    from gdalcubes_spark.webpcodec import encode_vp8l
+    if len(frames) != len(durations_ms):
+        raise ValueError("one duration per frame")
+    first = frames[0]
+    H, W = first.shape[1:]
+    has_alpha = any(f.shape[0] == 4 for f in frames)
+    flags = 0x02 | (0x10 if has_alpha else 0)
+    body = bytearray(b"WEBP")
+    body += _chunk(b"VP8X", bytes([flags, 0, 0, 0])
+                   + (W - 1).to_bytes(3, "little")
+                   + (H - 1).to_bytes(3, "little"))
+    body += _chunk(b"ANIM", b"\x00\x00\x00\x00"
+                   + int(loop).to_bytes(2, "little"))
+    for f, dur in zip(frames, durations_ms):
+        if f.shape[1:] != (H, W):
+            raise ValueError("animation frames must share the canvas size")
+        payload = encode_vp8l(f)  # full RIFF container; reuse its chunks
+        inner = payload[12:]  # the VP8L chunk (incl. header)
+        head = (0).to_bytes(3, "little") * 2 \
+            + (W - 1).to_bytes(3, "little") + (H - 1).to_bytes(3, "little") \
+            + int(dur).to_bytes(3, "little") + bytes([2])  # no-blend
+        body += _chunk(b"ANMF", head + inner)
+    return b"RIFF" + len(body).to_bytes(4, "little") + bytes(body)
+
+
 def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     """WebP → (nb, h, w).  Dispatches on the container chunk:
 
@@ -240,7 +374,35 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     (common) collapses to 3. Inventories that declare a band count should
     pass it via `nb` to pin the output shape (4 = keep ARGB as stored,
     3 = RGB even if grey, 1 = grey)."""
-    tag, payload, alph = _webp_chunks(b)
+    try:
+        tag, payload, alph = _webp_chunks(b)
+    except ValueError:
+        # top-level chunk walk found no still image; an ANMF chunk means
+        # an animation-only container
+        pos, has_anmf = 12, False
+        while pos + 8 <= len(b):
+            if b[pos:pos + 4] == b"ANMF":
+                has_anmf = True
+                break
+            sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+            pos += 8 + sz + (sz & 1)
+        if not has_anmf:
+            raise
+        # animated container: still-image contract = the first composited
+        # frame, like the GIF path
+        argb = webp_decode_frames(b)[0][0]
+        if nb == 4:
+            return argb
+        if nb == 3:
+            return argb[1:]
+        if nb == 1:
+            return argb[2:3]
+        if not (argb[0] == 255).all():
+            return argb
+        rgb = argb[1:]
+        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
+            return rgb[:1]
+        return rgb
     if tag == b"VP8 ":
         import os
         if os.environ.get("GDALCUBES_SPARK_USE_LIBWEBP") == "1":
@@ -308,12 +470,15 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         return _tif_encode(a)
     if fmt == "webp":
         return _webp_encode(a)
+    if fmt == "gif":
+        from gdalcubes_spark.gifcodec import encode_gif
+        return encode_gif(a)
     raise ValueError(f"unknown format {fmt!r}")
 
 
 def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
     """bytes → uint8 (nb, h, w). `nb` (optional) pins the band count for
-    formats whose storage is ambiguous (currently webp — see _webp_decode);
+    formats whose storage is ambiguous (webp and gif — see _webp_decode);
     other formats carry the count in-band and ignore it."""
     if fmt == "raw":
         return _raw_decode(b)
@@ -325,7 +490,32 @@ def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
         return _tif_decode(b)
     if fmt == "webp":
         return _webp_decode(b, nb=nb)
+    if fmt == "gif":
+        from gdalcubes_spark.gifcodec import decode_gif
+        return decode_gif(b, nb=nb)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def decode_frames(b: bytes, fmt: str):
+    """bytes → (frames, durations_ms): the animation surface of the codec
+    layer.  GIF and animated WebP return every composited (4, h, w) ARGB
+    frame; still formats return their single image as one zero-duration
+    ARGB frame, so frame-sampling operators need no format branching."""
+    if fmt == "gif":
+        from gdalcubes_spark.gifcodec import decode_gif_frames
+        frames, delays_cs = decode_gif_frames(b)
+        return frames, [d * 10 for d in delays_cs]
+    if fmt == "webp":
+        return webp_decode_frames(b)
+    img = decode(b, fmt)
+    if img.shape[0] == 1:
+        img = np.repeat(img, 3, axis=0)
+    if img.shape[0] == 2:  # grey+alpha → ARGB
+        img = np.stack([img[1], img[0], img[0], img[0]])
+    elif img.shape[0] == 3:
+        img = np.concatenate(
+            [np.full((1,) + img.shape[1:], 255, np.uint8), img])
+    return [img], [0]
 
 
 def phash64(a: np.ndarray) -> int:

@@ -2,13 +2,16 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 What is REAL here: the Spark-side plumbing — schemas, batch shapes, UDF
-signatures, partitioning — plus genuine decode for the formats our zlib codec
-implements (raw/png/jpeg-stub) and genuine numpy resize / feature math.
+signatures, partitioning — plus genuine decode for every format the codec
+layer implements (raw / png / jpeg baseline+progressive / tiled GeoTIFF /
+webp VP8L+VP8+ALPH / gif incl. animation) and genuine numpy resize /
+feature / FFT math.  Frame sampling over animated GIF/WebP
+(sample_animation_frames) is fully real.
 
-What is STUBBED (this container ships no image/audio libs — no PIL/ffmpeg):
-real JPEG/WebP decode, audio resample, video codecs — each raises
+What is STUBBED (this container ships no av libs — no ffmpeg): compressed
+audio (mp3/flac) and video codecs (h264/vp9) — each raises
 NotImplementedError behind a clearly marked seam, or uses the deterministic
-fake (codecs.py) so pipelines remain end-to-end testable.
+fake so pipelines remain end-to-end testable.
 """
 
 from __future__ import annotations
@@ -265,6 +268,63 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in VIDEO_SCHEMA.fields})
 
     return videos.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+ANIM_FRAME_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_ms", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("frame_mean", T.DoubleType(), False),
+    T.StructField("opaque_frac", T.DoubleType(), False),
+    T.StructField("frame_ahash", T.LongType(), False),
+])
+
+
+def sample_animation_frames(images: DataFrame, every_n: int = 1,
+                            max_frames: int = 64) -> DataFrame:
+    """REAL frame sampling over animated formats (GIF, animated WebP) —
+    the video-pipeline shape (sample_frames) backed by formats the codec
+    layer genuinely decodes end-to-end, not the ffmpeg stub seam.
+
+    images: the input_hint table (image_id, bytes, fmt, ...).  Emits one
+    row per sampled composited frame with its timeline position (t_ms =
+    cumulative duration before the frame), per-frame stats and aHash —
+    the columns a training pipeline keys frame dedup / scene sampling on.
+    Still formats yield exactly one frame, so the operator is total over
+    any inventory.  100 TB shape: pure mapInPandas (no shuffle); decode
+    cost scales with payload bytes and the output is a few scalars per
+    frame."""
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames, durs = codecs.decode_frames(bytes(row["bytes"]),
+                                                    row["fmt"])
+                frames = frames[:max_frames]
+                t = 0
+                for i, (f, d) in enumerate(zip(frames, durs)):
+                    if i % every_n == 0:
+                        rgb = f[1:].astype(np.float64)
+                        rows.append(dict(
+                            image_id=row["image_id"], frame_idx=i, t_ms=t,
+                            n_frames=len(frames),
+                            h=f.shape[1], w=f.shape[2],
+                            frame_mean=float(rgb.mean()),
+                            opaque_frac=float((f[0] == 255).mean()),
+                            frame_ahash=codecs.phash64(f[1:])))
+                    t += d
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ANIM_FRAME_SCHEMA.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in ANIM_FRAME_SCHEMA.fields})
+
+    return images.select("image_id", "bytes", "fmt") \
+        .mapInPandas(gen, ANIM_FRAME_SCHEMA)
 
 
 # ----------------------------------------------------------------- quality
