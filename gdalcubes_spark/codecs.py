@@ -197,6 +197,104 @@ def _tif_decode(b: bytes) -> np.ndarray:
     return arr
 
 
+# ------------------------------------------------------------------- bmp
+
+def _bmp_encode(a: np.ndarray) -> bytes:
+    """uint8 (1|3|4, h, w) → Windows BMP (BITMAPINFOHEADER, BI_RGB):
+    1 band → 8-bit with a grey palette, 3 → 24-bit BGR, 4 (ARGB) →
+    32-bit BGRA.  Rows bottom-up, 4-byte aligned — the layout every
+    reader (incl. the gdk-pixbuf bmp loader) understands."""
+    nb, h, w = a.shape
+    if nb == 1:
+        bpp, palette = 8, b"".join(
+            bytes([v, v, v, 0]) for v in range(256))
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = a[0]
+    elif nb in (3, 4):
+        bpp, palette = (24, b"") if nb == 3 else (32, b"")
+        nchan = bpp // 8
+        stride = (w * nchan + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        inter = np.empty((h, w, nchan), np.uint8)
+        if nb == 3:
+            inter[:, :, 0], inter[:, :, 1], inter[:, :, 2] = \
+                a[2], a[1], a[0]  # BGR
+        else:
+            inter[:, :, 0], inter[:, :, 1], inter[:, :, 2], \
+                inter[:, :, 3] = a[3], a[2], a[1], a[0]  # BGRA
+        rows[:, :w * nchan] = inter.reshape(h, w * nchan)
+    else:
+        raise ValueError("bmp codec takes 1, 3 or 4 bands")
+    pix = rows[::-1].tobytes()  # bottom-up
+    off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pix),
+                       2835, 2835, 256 if bpp == 8 else 0, 0)
+    return header + info + palette + pix
+
+
+def _bmp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
+    """BMP → (nb, h, w).  Uncompressed (BI_RGB) 8/24/32-bit, bottom-up or
+    top-down; 8-bit goes through its palette.  Band collapse mirrors the
+    other codecs (opaque 4→3, grey 3→1); `nb` pins."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", b[10:14])
+    hdr_sz, w, h = struct.unpack("<Iii", b[14:26])
+    planes, bpp, comp = struct.unpack("<HHI", b[26:34])
+    if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
+        raise NotImplementedError(f"BMP compression {comp} unsupported")
+    flip = h > 0
+    h = abs(h)
+    nchan = bpp // 8
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", b[46:50])
+        n_colors = n_colors or 256
+        pal = np.frombuffer(b[14 + hdr_sz:14 + hdr_sz + 4 * n_colors],
+                            np.uint8).reshape(n_colors, 4)
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(b, np.uint8, count=stride * h,
+                            offset=off).reshape(h, stride)[:, :w]
+        if flip:
+            idx = idx[::-1]
+        bgr = pal[idx]  # (h, w, 4) BGRX
+        out = np.stack([bgr[:, :, 2], bgr[:, :, 1], bgr[:, :, 0]])
+    elif bpp in (24, 32):
+        stride = (w * nchan + 3) & ~3
+        rows = np.frombuffer(b, np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        if flip:
+            rows = rows[::-1]
+        inter = rows[:, :w * nchan].reshape(h, w, nchan)
+        chans = [inter[:, :, 2], inter[:, :, 1], inter[:, :, 0]]  # RGB
+        if nchan == 4:
+            out = np.stack([inter[:, :, 3]] + chans)  # ARGB
+        else:
+            out = np.stack(chans)
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    out = np.ascontiguousarray(out)
+    if nb == 4:
+        if out.shape[0] == 4:
+            return out
+        return np.concatenate(
+            [np.full((1,) + out.shape[1:], 255, np.uint8), out])
+    if nb == 3:
+        return out[1:] if out.shape[0] == 4 else out
+    if nb == 1:
+        return out[2:3] if out.shape[0] == 4 else out[1:2] \
+            if out.shape[0] == 3 else out
+    if nb is not None:
+        raise ValueError(f"bmp nb must be 1, 3 or 4, got {nb}")
+    if out.shape[0] == 4 and (out[0] == 255).all():
+        out = out[1:]
+    if out.shape[0] == 3 and np.array_equal(out[0], out[1]) \
+            and np.array_equal(out[1], out[2]):
+        out = out[:1]
+    return out
+
+
 # ------------------------------------------------------------------- api
 
 def _webp_encode(a: np.ndarray) -> bytes:
@@ -473,6 +571,8 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
     if fmt == "gif":
         from gdalcubes_spark.gifcodec import encode_gif
         return encode_gif(a)
+    if fmt == "bmp":
+        return _bmp_encode(a)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -493,6 +593,8 @@ def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
     if fmt == "gif":
         from gdalcubes_spark.gifcodec import decode_gif
         return decode_gif(b, nb=nb)
+    if fmt == "bmp":
+        return _bmp_decode(b, nb=nb)
     raise ValueError(f"unknown format {fmt!r}")
 
 

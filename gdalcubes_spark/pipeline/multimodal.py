@@ -68,8 +68,9 @@ def decode_features(images: DataFrame, resize: Tuple[int, int] = (8, 8)) -> Data
 def translate_format(images: DataFrame, to_fmt: str) -> DataFrame:
     """Bulk re-encode of the image collection (image_collection_ops.h:28-36:
     translate_gtiff/translate_cog analogue) — decode + re-encode in Arrow
-    batches, preserving metadata columns. Lossless for raw/png; the jpeg
-    stub documents the lossy seam."""
+    batches, preserving metadata columns. Lossless targets: raw / png /
+    tif / webp (VP8L) / bmp; lossy: jpeg (DCT) and gif beyond 256
+    colors (median-cut palette)."""
 
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:

@@ -162,9 +162,10 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
         levels = peek_levels(bytes(payload))
         lv = _choose_overview_level(levels, native_bbox, dxv, dyv)
         arr = decode_geotiff(bytes(payload), level=lv)[0]
-    elif fmt == "webp":
-        # webp storage is band-ambiguous (VP8L collapse rules; VP8 luma vs
-        # RGB) — pin the inventory-declared band count into the decode
+    elif fmt in ("webp", "gif", "bmp"):
+        # these containers are band-ambiguous (VP8L/palette collapse
+        # rules; VP8 luma vs RGB) — pin the inventory-declared band
+        # count into the decode
         arr = codecs.decode(bytes(payload), fmt, nb=nb_expected)
     else:
         arr = codecs.decode(bytes(payload), fmt)  # (nb, h, w) uint8

@@ -108,6 +108,36 @@ class TestJpegParity:
         assert _psnr(codecs.decode(b, "jpeg")[0], theirs[0]) >= 40.0
 
 
+class TestBmpParity:
+    def test_roundtrip_and_pixbuf_reads_ours(self):
+        for nb in (1, 3, 4):
+            a = _rand((nb, 21, 30), nb)
+            if nb == 4:
+                a[0] = np.where(a[0] > 127, 255, 0)
+            b = codecs.encode(a, "bmp")
+            np.testing.assert_array_equal(codecs.decode(b, "bmp", nb=nb), a)
+            ref = P.decode(b, "bmp")
+            if nb == 1:
+                for band in ref[:3]:
+                    np.testing.assert_array_equal(band, a[0])
+            else:
+                # 32-bit BI_RGB alpha is historically undefined — pixbuf
+                # ignores it; gate RGB there and alpha via the roundtrip
+                np.testing.assert_array_equal(ref[:3],
+                                              a if nb == 3 else a[1:])
+
+    def test_we_read_pixbuf_bmp(self):
+        a = _rand((3, 17, 23), 20)
+        b = P.encode(a, "bmp")
+        np.testing.assert_array_equal(codecs.decode(b, "bmp", nb=3), a)
+
+    def test_stride_padding_odd_width(self):
+        a = _rand((3, 5, 5), 21)
+        b = codecs.encode(a, "bmp")
+        np.testing.assert_array_equal(codecs.decode(b, "bmp", nb=3), a)
+        np.testing.assert_array_equal(P.decode(b, "bmp")[:3], a)
+
+
 class TestTiffParity:
     def test_libtiff_reads_our_streams_bit_exact(self):
         a = _rand((3, 29, 35), 10)

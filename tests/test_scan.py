@@ -223,6 +223,28 @@ class TestRasterCube:
         assert not np.any(np.isnan(got))
         assert np.allclose(got, want)  # lossless format → exact
 
+    def test_gif_bmp_inventory_scan_exact(self, spark):
+        # fmt='gif'/'bmp' payloads decode losslessly through the scan:
+        # the synth ramp has <=256 unique colors per image, so the GIF
+        # palette is exact; bmp is unconditionally lossless. Pinning the
+        # inventory band count resolves the palette/collapse ambiguity.
+        for fmt, nb in (("gif", 1), ("gif", 3), ("bmp", 3)):
+            lay = ImageLayout(left0=0.0, top0=4.0, tile_dx=2.0, tile_dy=2.0,
+                              gx=2, gy=2, ntime=2, tile_w=16, tile_h=16,
+                              nb=nb, fmts=(fmt,))
+            n = 8
+            imgs = generate_images(spark, n, lay)
+            v = CubeView.create(srs="EPSG:4326", left=0, right=4, bottom=0,
+                                top=4, t0="2021-01-01", t1="2021-01-02",
+                                dt="P1D", dx=0.25, dy=0.25,
+                                aggregation="first", resampling="near")
+            g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=8, cx=8)
+            got = raster_cube(imgs, v, band_names(lay),
+                              chunking=g).collect_array()
+            want = oracle_cell_values(lay, n, v, "first")
+            assert not np.any(np.isnan(got)), (fmt, nb)
+            assert np.allclose(got, want), (fmt, nb)
+
     def test_mask(self, spark, images):
         v = scan_view("first")
         g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16)
