@@ -239,6 +239,48 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
     return clips.mapInPandas(gen, AUDIO_SCHEMA)
 
 
+AUDIO_INFO_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("container", T.StringType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("channels", T.IntegerType(), False),
+    T.StructField("bits_per_sample", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("n_samples", T.LongType(), False),
+    T.StructField("duration_s", T.DoubleType(), False),
+    T.StructField("bitrate_kbps", T.DoubleType(), False),
+    T.StructField("vbr", T.BooleanType(), False),
+])
+
+
+def audio_info(clips: DataFrame) -> DataFrame:
+    """Container-metadata triage over an audio inventory (clip_id string,
+    bytes binary): WAV / FLAC / MP3 parsed by pure header walks
+    (audiometa.py) — duration, rate, channels, bitrate, VBR — with NO
+    sample decode.  This is the 100 TB-shape complement of the
+    audio_features stub seam: mp3/flac SAMPLE decode stays an external-
+    library boundary, but inventory statistics (the thing a training
+    pipeline filters on first) never needed it.  Shuffle-free
+    mapInPandas; cost is a few KB of header bytes per object."""
+    from gdalcubes_spark.audiometa import parse_audio
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = parse_audio(bytes(row["bytes"]))
+                meta["clip_id"] = row["clip_id"]
+                rows.append(meta)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_INFO_SCHEMA.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in AUDIO_INFO_SCHEMA.fields})
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        gen, AUDIO_INFO_SCHEMA)
+
+
 VIDEO_SCHEMA = T.StructType([
     T.StructField("video_id", T.StringType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),
