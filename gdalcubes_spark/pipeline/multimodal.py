@@ -313,6 +313,93 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(gen, VIDEO_SCHEMA)
 
 
+VIDEO_INFO_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType(), False),
+    T.StructField("brand", T.StringType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("duration_s", T.DoubleType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("n_keyframes", T.IntegerType(), False),
+    T.StructField("fps", T.DoubleType(), False),
+])
+
+
+def video_container_info(videos: DataFrame) -> DataFrame:
+    """ISO-BMFF (MP4/MOV) triage over (video_id, bytes): codec fourcc,
+    dimensions, duration, sample/keyframe counts from the moov tables
+    (mp4meta.py) — NO codec decode, a few KB of header parsing per
+    object.  One row per video track."""
+    from gdalcubes_spark.mp4meta import parse_mp4
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                info = parse_mp4(bytes(row["bytes"]))
+                for t in info["tracks"]:
+                    if t["handler"] != "vide":
+                        continue
+                    rows.append(dict(
+                        video_id=row["video_id"], brand=info["brand"],
+                        codec=t["codec"], width=t["width"],
+                        height=t["height"], duration_s=t["duration_s"],
+                        n_samples=t["n_samples"],
+                        n_keyframes=t["n_keyframes"],
+                        fps=(t["n_samples"] / t["duration_s"]
+                             if t["duration_s"] else 0.0)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_INFO_SCHEMA.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in VIDEO_INFO_SCHEMA.fields})
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        gen, VIDEO_INFO_SCHEMA)
+
+
+KEYFRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType(), False),
+    T.StructField("sample_idx", T.IntegerType(), False),
+    T.StructField("t_s", T.DoubleType(), False),
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("size_bytes", T.LongType(), False),
+])
+
+
+def video_keyframe_index(videos: DataFrame) -> DataFrame:
+    """The distributed frame-extraction PLAN: one row per keyframe with
+    its absolute byte range and timestamp, expanded from the
+    stsc x stco x stsz x stts x stss tables.  At 100 TB the decode job
+    reads ONLY these ranges (columnar range reads, no full-file scans);
+    the h264/h265 decode of each range stays the documented external-
+    library seam (sample_frames)."""
+    from gdalcubes_spark.mp4meta import parse_mp4, sample_table
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["bytes"])
+                for t in parse_mp4(b)["tracks"]:
+                    if t["handler"] != "vide":
+                        continue
+                    for si, off, size, ts, key in sample_table(b, t):
+                        if key:
+                            rows.append(dict(
+                                video_id=row["video_id"], sample_idx=si,
+                                t_s=ts, offset=off, size_bytes=size))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in KEYFRAME_SCHEMA.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in KEYFRAME_SCHEMA.fields})
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        gen, KEYFRAME_SCHEMA)
+
+
 ANIM_FRAME_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),
