@@ -573,6 +573,15 @@ def encode(a: np.ndarray, fmt: str) -> bytes:
         return encode_gif(a)
     if fmt == "bmp":
         return _bmp_encode(a)
+    if fmt == "avif":
+        from gdalcubes_spark import libavif
+        if not libavif.available():
+            raise NotImplementedError(
+                "avif encode needs a system libavif (AV1 is outside the "
+                "pure-Python codec boundary)")
+        if a.shape[0] == 1:
+            a = np.repeat(a, 3, axis=0)
+        return libavif.encode_rgba(a)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -595,6 +604,28 @@ def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
         return decode_gif(b, nb=nb)
     if fmt == "bmp":
         return _bmp_decode(b, nb=nb)
+    if fmt == "avif":
+        from gdalcubes_spark import libavif
+        if not libavif.available():
+            raise NotImplementedError(
+                "avif decode needs a system libavif — AV1 entropy coding "
+                "is outside the pure-Python codec boundary; "
+                "mp4meta.probe_avif still triages dims/brand without it")
+        argb = libavif.decode_rgba(b)
+        if nb == 4:
+            return argb
+        if nb == 3:
+            return argb[1:]
+        if nb == 1:
+            return argb[2:3]
+        if nb is not None:
+            raise ValueError(f"avif nb must be 1, 3 or 4, got {nb}")
+        if not (argb[0] == 255).all():
+            return argb
+        rgb = argb[1:]
+        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
+            return rgb[:1]
+        return rgb
     raise ValueError(f"unknown format {fmt!r}")
 
 
