@@ -905,6 +905,134 @@ _SCAN_RAW_ORACLE_SQL = """
 """
 
 
+def _q_codec_gif_oracle(spark, sf_dir):
+    """REAL GIF entropy decode value-hash-gated end-to-end (the
+    scan_raw_oracle pattern applied to the r5 gif codec): a deterministic
+    animated-GIF inventory whose frame pixels are the closed-form formula
+    v=(a·px+b·py+d) mod 256 (grey → exact 256-entry palette → LZW is
+    LOSSLESS), decoded by sample_animation_frames through the full
+    gifcodec path — LZW width schedule, palette, GCE delays, compositing.
+    The oracle reconstructs frame means and the delay timeline in pure
+    SQL, so any bit-level decode defect breaks the value hash."""
+    import pandas as pd
+
+    from gdalcubes_spark.pipeline.multimodal import sample_animation_frames
+
+    n_imgs, n_frames, side = 24, 4, 16
+
+    def gen(batches):
+        import numpy as np
+
+        from gdalcubes_spark.gifcodec import encode_gif_animation
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = []
+                for j in range(n_frames):
+                    a, b = 1 + (i * 7 + j) % 5, 1 + (i * 11 + j) % 5
+                    d = (i * 13 + j * 29) % 256
+                    xx = np.arange(side)[None, :]
+                    yy = np.arange(side)[:, None]
+                    img = ((a * xx + b * yy + d) % 256).astype(np.uint8)
+                    frames.append((img[None], (j + 1) * 5))  # delay cs
+                rows.append(dict(image_id=f"gif_{i:04d}",
+                                 bytes=encode_gif_animation(frames),
+                                 fmt="gif"))
+            yield (pd.DataFrame(rows,
+                                columns=["image_id", "bytes", "fmt"])
+                   if rows else pd.DataFrame(
+                       {c: pd.Series(dtype="object")
+                        for c in ["image_id", "bytes", "fmt"]}))
+
+    schema = "image_id string, bytes binary, fmt string"
+    inv = spark.range(0, n_imgs, numPartitions=8).mapInPandas(gen, schema)
+    out = sample_animation_frames(inv, every_n=1)
+    return out.select("image_id", "frame_idx", "t_ms", "n_frames",
+                      F.round("frame_mean", 6).alias("frame_mean"))
+
+
+_CODEC_GIF_ORACLE_SQL = """
+    WITH f AS (
+      SELECT i, j,
+             1 + (i * 7 + j) % 5 AS a, 1 + (i * 11 + j) % 5 AS b,
+             (i * 13 + j * 29) % 256 AS d
+      FROM range(24) t(i) CROSS JOIN range(4) u(j)
+    ),
+    px AS (
+      SELECT i, j, CAST((a * x + b * y + d) % 256 AS DOUBLE) AS v
+      FROM f CROSS JOIN range(16) xs(x) CROSS JOIN range(16) ys(y)
+    )
+    SELECT printf('gif_%04d', CAST(i AS INTEGER)) AS image_id,
+           CAST(j AS INTEGER) AS frame_idx,
+           CAST(25 * j * (j + 1) AS INTEGER) AS t_ms,
+           4 AS n_frames,
+           ROUND(AVG(v), 6) AS frame_mean
+    FROM px GROUP BY i, j
+"""
+
+
+def _q_audio_meta_oracle(spark, sf_dir):
+    """MP3 frame-walk metadata value-hash-gated: crafted CBR streams
+    (one bitrate per clip, MPEG-1 Layer III 44.1 kHz) built executor-side
+    from raw header math; audio_info must recover frame count, exact
+    duration and container bitrate — all reconstructible in closed-form
+    SQL from the same (kbps, n_frames) parameters."""
+    import pandas as pd
+
+    from gdalcubes_spark.pipeline.multimodal import audio_info
+
+    kbps_tbl = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320)
+
+    def gen(batches):
+        import struct as st
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kbps = kbps_tbl[i % len(kbps_tbl)]
+                nfr = 8 + (i * 3) % 17
+                br_idx = kbps_tbl.index(kbps) + 1
+                h = (0xFFE00000 | (3 << 19) | (1 << 17) | (1 << 16)
+                     | (br_idx << 12) | (0 << 10) | (3 << 6))
+                flen = 1152 // 8 * kbps * 1000 // 44100
+                frame = (st.pack(">I", h) + bytes(flen))[:flen]
+                rows.append(dict(clip_id=f"clip_{i:04d}",
+                                 bytes=frame * nfr))
+            yield (pd.DataFrame(rows, columns=["clip_id", "bytes"])
+                   if rows else pd.DataFrame(
+                       {c: pd.Series(dtype="object")
+                        for c in ["clip_id", "bytes"]}))
+
+    inv = spark.range(0, 32, numPartitions=8).mapInPandas(
+        gen, "clip_id string, bytes binary")
+    out = audio_info(inv)
+    return out.select("clip_id", "container", "sample_rate", "channels",
+                      "n_frames",
+                      F.round("duration_s", 6).alias("duration_s"),
+                      F.round("bitrate_kbps", 6).alias("bitrate_kbps"))
+
+
+_AUDIO_META_ORACLE_SQL = """
+    WITH params AS (
+      SELECT i,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [1 + CAST(i % 14 AS INTEGER)] AS kbps,
+             8 + (i * 3) % 17 AS nfr
+      FROM range(32) t(i)
+    )
+    SELECT printf('clip_%04d', CAST(i AS INTEGER)) AS clip_id,
+           'mp3(v1L3)' AS container,
+           44100 AS sample_rate, 1 AS channels,
+           CAST(nfr AS INTEGER) AS n_frames,
+           ROUND(nfr * 1152.0 / 44100, 6) AS duration_s,
+           ROUND((nfr * ((1152 // 8) * kbps * 1000 // 44100)) * 8.0
+                 / (nfr * 1152.0 / 44100) / 1000, 6) AS bitrate_kbps
+    FROM params
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ALL DuckDB-oracled queries first, rows-only last: the driver runs the
     dict in order under a budget, and an oracled query it never reaches has
@@ -934,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_join_bands": _q_join_bands,
         "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "scan_raw_oracle": _q_scan_raw_oracle,
+        "codec_gif_oracle": _q_codec_gif_oracle,
+        "audio_meta_oracle": _q_audio_meta_oracle,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
         "text_tfidf": _q_text_tfidf,
@@ -1369,6 +1499,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lab l JOIN sz USING (cluster)
         """,
         "scan_raw_oracle": _SCAN_RAW_ORACLE_SQL,
+        "codec_gif_oracle": _CODEC_GIF_ORACLE_SQL,
+        "audio_meta_oracle": _AUDIO_META_ORACLE_SQL,
         "cube_apply_time_cumsum": _CELLS_CTE + """
             SELECT it, iy, ix, CAST('v_csum' AS VARCHAR) AS band,
                    SUM(value) OVER (PARTITION BY iy, ix ORDER BY it
