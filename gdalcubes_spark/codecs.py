@@ -234,6 +234,33 @@ def _bmp_encode(a: np.ndarray) -> bytes:
     return header + info + palette + pix
 
 
+def _pin_bands(out: np.ndarray, nb: int | None, what: str) -> np.ndarray:
+    """The codec layer's single band contract, shared by every decoder.
+
+    `nb` pins the output: 4 = ARGB (opaque alpha synthesized when the
+    storage has none), 3 = RGB, 1 = grey (the green plane — encode stores
+    grey as r=g=b); any other non-None value raises.  nb=None applies the
+    deterministic collapse documented on _webp_decode: fully-opaque alpha
+    drops 4→3, grey r=g=b folds 3→1.  Input is (3|4, h, w) uint8."""
+    if nb == 4:
+        if out.shape[0] == 4:
+            return out
+        return np.concatenate(
+            [np.full((1,) + out.shape[1:], 255, np.uint8), out])
+    if nb == 3:
+        return out[1:] if out.shape[0] == 4 else out
+    if nb == 1:
+        return out[2:3] if out.shape[0] == 4 else out[1:2]
+    if nb is not None:
+        raise ValueError(f"{what} nb must be 1, 3 or 4, got {nb}")
+    if out.shape[0] == 4 and (out[0] == 255).all():
+        out = out[1:]
+    if out.shape[0] == 3 and np.array_equal(out[0], out[1]) \
+            and np.array_equal(out[1], out[2]):
+        out = out[:1]
+    return out
+
+
 def _bmp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     """BMP → (nb, h, w).  Uncompressed (BI_RGB) 8/24/32-bit, bottom-up or
     top-down; 8-bit goes through its palette.  Band collapse mirrors the
@@ -245,6 +272,18 @@ def _bmp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
     planes, bpp, comp = struct.unpack("<HHI", b[26:34])
     if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
         raise NotImplementedError(f"BMP compression {comp} unsupported")
+    if comp == 3:
+        # BI_BITFIELDS: the masks live right after the 40-byte info header
+        # (and at the same byte offset inside V4/V5 headers).  Only the
+        # default BGRA layout is decoded; anything else must raise, not
+        # silently swap channels.
+        rm, gm, bm = struct.unpack("<III", b[54:66])
+        am = struct.unpack("<I", b[66:70])[0] if hdr_sz >= 108 else 0
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF) \
+                or am not in (0, 0xFF000000):
+            raise NotImplementedError(
+                f"BMP BI_BITFIELDS masks {rm:#010x}/{gm:#010x}/{bm:#010x}"
+                f"/{am:#010x} differ from the default BGRA layout")
     flip = h > 0
     h = abs(h)
     nchan = bpp // 8
@@ -274,25 +313,7 @@ def _bmp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
             out = np.stack(chans)
     else:
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
-    out = np.ascontiguousarray(out)
-    if nb == 4:
-        if out.shape[0] == 4:
-            return out
-        return np.concatenate(
-            [np.full((1,) + out.shape[1:], 255, np.uint8), out])
-    if nb == 3:
-        return out[1:] if out.shape[0] == 4 else out
-    if nb == 1:
-        return out[2:3] if out.shape[0] == 4 else out[1:2] \
-            if out.shape[0] == 3 else out
-    if nb is not None:
-        raise ValueError(f"bmp nb must be 1, 3 or 4, got {nb}")
-    if out.shape[0] == 4 and (out[0] == 255).all():
-        out = out[1:]
-    if out.shape[0] == 3 and np.array_equal(out[0], out[1]) \
-            and np.array_equal(out[1], out[2]):
-        out = out[:1]
-    return out
+    return _pin_bands(np.ascontiguousarray(out), nb, "bmp")
 
 
 # ------------------------------------------------------------------- api
@@ -328,7 +349,7 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
         + (b"\x00" if len(payload) & 1 else b"")
 
 
-def webp_decode_frames(b: bytes):
+def webp_decode_frames(b: bytes, max_frames: int = 10_000):
     """Animated WebP (RFC 9649 VP8X/ANIM/ANMF) → (frames, durations_ms):
     composited (4, H, W) uint8 ARGB canvases, one per ANMF frame.
 
@@ -342,7 +363,6 @@ def webp_decode_frames(b: bytes):
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     pos = 12
-    canvas_wh = None
     frames: list = []
     durations: list = []
     canvas = None
@@ -355,10 +375,13 @@ def webp_decode_frames(b: bytes):
         if tag == b"VP8X":
             cw = int.from_bytes(payload[4:7], "little") + 1
             ch = int.from_bytes(payload[7:10], "little") + 1
-            canvas_wh = (cw, ch)
             canvas = np.zeros((4, ch, cw), np.uint8)
         elif tag == b"ANMF":
             saw_anmf = True
+            if canvas is None:  # fail BEFORE decoding any frame
+                raise ValueError("animated WebP without a VP8X chunk")
+            if len(frames) >= max_frames:
+                break
             fx = int.from_bytes(payload[0:3], "little") * 2
             fy = int.from_bytes(payload[3:6], "little") * 2
             fw = int.from_bytes(payload[6:9], "little") + 1
@@ -391,8 +414,6 @@ def webp_decode_frames(b: bytes):
             if img.shape[0] == 3:
                 img = np.concatenate(
                     [np.full((1,) + img.shape[1:], 255, np.uint8), img])
-            if canvas is None:
-                canvas = np.zeros((4, fh, fw), np.uint8)
             region = canvas[:, fy:fy + fh, fx:fx + fw]
             if not blend:
                 region[:] = img
@@ -419,8 +440,6 @@ def webp_decode_frames(b: bytes):
             img = np.concatenate(
                 [np.full((1,) + img.shape[1:], 255, np.uint8), img])
         return [img], [0]
-    if canvas_wh is None:
-        raise ValueError("animated WebP without a VP8X chunk")
     return frames, durations
 
 
@@ -488,19 +507,8 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
             raise
         # animated container: still-image contract = the first composited
         # frame, like the GIF path
-        argb = webp_decode_frames(b)[0][0]
-        if nb == 4:
-            return argb
-        if nb == 3:
-            return argb[1:]
-        if nb == 1:
-            return argb[2:3]
-        if not (argb[0] == 255).all():
-            return argb
-        rgb = argb[1:]
-        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
-            return rgb[:1]
-        return rgb
+        argb = webp_decode_frames(b, max_frames=1)[0][0]
+        return _pin_bands(argb, nb, "webp")
     if tag == b"VP8 ":
         import os
         if os.environ.get("GDALCUBES_SPARK_USE_LIBWEBP") == "1":
@@ -535,26 +543,12 @@ def _webp_decode(b: bytes, nb: int | None = None) -> np.ndarray:
         rgb = yuv_to_rgb(y, u, v)
         if nb is None and alpha is not None and not (alpha == 255).all():
             return np.concatenate([alpha[None], rgb])
-        if nb is None and np.array_equal(rgb[0], rgb[1]) \
-                and np.array_equal(rgb[1], rgb[2]):
-            return rgb[:1]
-        return rgb
+        # remaining nb here: None or 3 (1 and 4 returned above) — routed
+        # through the shared contract so invalid values raise like every
+        # other path
+        return _pin_bands(rgb, nb, "webp")
     from gdalcubes_spark.webpcodec import decode_vp8l
-    argb = decode_vp8l(b)
-    if nb is not None:
-        if nb == 4:
-            return argb
-        if nb == 3:
-            return argb[1:]
-        if nb == 1:
-            return argb[2:3]  # green plane; encode stores grey as r=g=b
-        raise ValueError(f"webp nb must be 1, 3 or 4, got {nb}")
-    if (argb[0] == 255).all():
-        rgb = argb[1:]
-        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
-            return rgb[:1]
-        return rgb
-    return argb
+    return _pin_bands(decode_vp8l(b), nb, "webp")
 
 
 def encode(a: np.ndarray, fmt: str) -> bytes:
@@ -611,35 +605,22 @@ def decode(b: bytes, fmt: str, nb: int | None = None) -> np.ndarray:
                 "avif decode needs a system libavif — AV1 entropy coding "
                 "is outside the pure-Python codec boundary; "
                 "mp4meta.probe_avif still triages dims/brand without it")
-        argb = libavif.decode_rgba(b)
-        if nb == 4:
-            return argb
-        if nb == 3:
-            return argb[1:]
-        if nb == 1:
-            return argb[2:3]
-        if nb is not None:
-            raise ValueError(f"avif nb must be 1, 3 or 4, got {nb}")
-        if not (argb[0] == 255).all():
-            return argb
-        rgb = argb[1:]
-        if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
-            return rgb[:1]
-        return rgb
+        return _pin_bands(libavif.decode_rgba(b), nb, "avif")
     raise ValueError(f"unknown format {fmt!r}")
 
 
-def decode_frames(b: bytes, fmt: str):
+def decode_frames(b: bytes, fmt: str, max_frames: int = 10_000):
     """bytes → (frames, durations_ms): the animation surface of the codec
-    layer.  GIF and animated WebP return every composited (4, h, w) ARGB
-    frame; still formats return their single image as one zero-duration
+    layer.  GIF and animated WebP return composited (4, h, w) ARGB frames
+    (at most `max_frames` — decoding STOPS there, it does not decode-then-
+    truncate); still formats return their single image as one zero-duration
     ARGB frame, so frame-sampling operators need no format branching."""
     if fmt == "gif":
         from gdalcubes_spark.gifcodec import decode_gif_frames
-        frames, delays_cs = decode_gif_frames(b)
+        frames, delays_cs = decode_gif_frames(b, max_frames=max_frames)
         return frames, [d * 10 for d in delays_cs]
     if fmt == "webp":
-        return webp_decode_frames(b)
+        return webp_decode_frames(b, max_frames=max_frames)
     img = decode(b, fmt)
     if img.shape[0] == 1:
         img = np.repeat(img, 3, axis=0)
@@ -649,6 +630,27 @@ def decode_frames(b: bytes, fmt: str):
         img = np.concatenate(
             [np.full((1,) + img.shape[1:], 255, np.uint8), img])
     return [img], [0]
+
+
+def count_frames(b: bytes, fmt: str) -> int:
+    """TRUE frame count via a container walk only — no entropy decode, so
+    it is O(container structure) not O(pixels).  Lets frame-sampling
+    operators report an animation's real length even when they stop
+    decoding at max_frames.  Still formats count 1."""
+    if fmt == "gif":
+        from gdalcubes_spark.gifcodec import count_gif_frames
+        return count_gif_frames(b)
+    if fmt == "webp":
+        if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+            raise ValueError("not a WebP (missing RIFF/WEBP header)")
+        pos, n = 12, 0
+        while pos + 8 <= len(b):
+            if b[pos:pos + 4] == b"ANMF":
+                n += 1
+            sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+            pos += 8 + sz + (sz & 1)
+        return n or 1
+    return 1
 
 
 def phash64(a: np.ndarray) -> int:

@@ -213,6 +213,41 @@ def _interlace(rows: np.ndarray) -> np.ndarray:
 # ----------------------------------------------------------------- decode
 
 
+def count_gif_frames(b: bytes) -> int:
+    """Number of image descriptors — a pure block walk (sub-block lengths
+    only, no LZW decode), so counting a 1000-frame GIF costs microseconds."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    n = 0
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:
+            break
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        n += 1
+        fpacked = b[pos + 8]
+        pos += 9
+        if fpacked & 0x80:
+            pos += 3 * (2 << (fpacked & 7))
+        pos += 1  # LZW minimum code size
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    return n
+
+
 def decode_gif_frames(b: bytes, max_frames: int = 10_000):
     """GIF bytes → (frames, delays_cs) where frames is a list of composited
     (4, H, W) uint8 ARGB canvases (one per image descriptor) and delays_cs
@@ -326,22 +361,9 @@ def decode_gif(b: bytes, nb: int | None = None) -> np.ndarray:
 
     Band collapse mirrors the webp codec: fully-opaque alpha drops to RGB,
     grey r=g=b folds to 1 band; `nb` pins (4=ARGB, 3=RGB, 1=grey)."""
+    from gdalcubes_spark.codecs import _pin_bands
     frames, _ = decode_gif_frames(b, max_frames=1)
-    argb = frames[0]
-    if nb == 4:
-        return argb
-    if nb == 3:
-        return argb[1:]
-    if nb == 1:
-        return argb[2:3]
-    if nb is not None:
-        raise ValueError(f"gif nb must be 1, 3 or 4, got {nb}")
-    if not (argb[0] == 255).all():
-        return argb
-    rgb = argb[1:]
-    if np.array_equal(rgb[0], rgb[1]) and np.array_equal(rgb[1], rgb[2]):
-        return rgb[:1]
-    return rgb
+    return _pin_bands(frames[0], nb, "gif")
 
 
 # ----------------------------------------------------------------- encode

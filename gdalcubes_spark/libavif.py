@@ -21,6 +21,7 @@ import ctypes
 import numpy as np
 
 _lib = None
+_lib_tried = False  # a failed load is cached too — no repeated dlopen probes
 _rgb_layout = None  # (pixels_offset, rowbytes_offset, struct_size)
 
 _RGB_LAYOUTS = (
@@ -91,9 +92,10 @@ def _probe_rgb_layout(lib) -> tuple | None:
 
 
 def load():
-    global _lib, _rgb_layout
-    if _lib is not None:
+    global _lib, _rgb_layout, _lib_tried
+    if _lib is not None or _lib_tried:
         return _lib
+    _lib_tried = True
     for name in ("libavif.so.15", "libavif.so", "libavif.dylib"):
         try:
             lib = ctypes.CDLL(name)
@@ -103,9 +105,9 @@ def load():
             _bind(lib)
             layout = _probe_rgb_layout(lib)
         except (AttributeError, OSError):
-            return None
+            continue  # this build lacks a symbol — try the next name
         if layout is None:
-            return None
+            continue  # unrecognized struct layout — try the next name
         _lib = lib
         _rgb_layout = layout
         return _lib

@@ -432,16 +432,20 @@ def sample_animation_frames(images: DataFrame, every_n: int = 1,
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                frames, durs = codecs.decode_frames(bytes(row["bytes"]),
-                                                    row["fmt"])
-                frames = frames[:max_frames]
+                raw, fmt = bytes(row["bytes"]), row["fmt"]
+                # decode STOPS at max_frames (no decode-then-truncate);
+                # n_frames reports the TRUE animation length via a cheap
+                # container walk, so consumers keying on it are not clipped
+                frames, durs = codecs.decode_frames(raw, fmt,
+                                                    max_frames=max_frames)
+                n_total = codecs.count_frames(raw, fmt)
                 t = 0
                 for i, (f, d) in enumerate(zip(frames, durs)):
                     if i % every_n == 0:
                         rgb = f[1:].astype(np.float64)
                         rows.append(dict(
                             image_id=row["image_id"], frame_idx=i, t_ms=t,
-                            n_frames=len(frames),
+                            n_frames=n_total,
                             h=f.shape[1], w=f.shape[2],
                             frame_mean=float(rgb.mean()),
                             opaque_frac=float((f[0] == 255).mean()),

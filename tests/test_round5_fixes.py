@@ -212,3 +212,105 @@ class TestStreamingStateBounding:
         probe_pairs = {r["ida"] for r in spark.sql(
             "SELECT DISTINCT ida FROM lru_emb WHERE idb = 100").collect()}
         assert probe_pairs == {3, 4, 5}
+
+
+class TestReviewPassBandContract:
+    """Second review pass: one shared _pin_bands contract across every
+    decoder (the per-codec copies had already drifted — the VP8 branch
+    silently returned 3 bands for invalid nb)."""
+
+    def test_vp8_invalid_nb_raises(self):
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from vp8_writer import checkerboard_dc, write_stream
+
+        from gdalcubes_spark import codecs
+        b = write_stream(2, 2, dc_plan=checkerboard_dc(8))
+        assert codecs.decode(b, "webp", nb=3).shape[0] == 3
+        with pytest.raises(ValueError, match="nb must be 1, 3 or 4"):
+            codecs.decode(b, "webp", nb=2)
+
+    def test_invalid_nb_raises_everywhere(self):
+        from gdalcubes_spark import codecs
+        grey = np.arange(16, dtype=np.uint8).reshape(1, 4, 4) * 15
+        for fmt in ("webp", "gif", "bmp"):
+            blob = codecs.encode(grey, fmt)
+            with pytest.raises(ValueError, match="nb must be 1, 3 or 4"):
+                codecs.decode(blob, fmt, nb=2)
+
+    def test_bmp_bitfields_default_masks_decode(self):
+        import struct
+
+        from gdalcubes_spark import codecs
+        a = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(4, 2, 2)
+        # hand-build a 32-bit BI_BITFIELDS file with the default BGRA masks
+        inter = np.stack([a[3], a[2], a[1], a[0]], axis=-1)  # BGRA rows
+        pix = inter[::-1].tobytes()  # bottom-up
+        masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+        off = 14 + 40 + len(masks)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, len(pix),
+                           2835, 2835, 0, 0)
+        out = codecs.decode(hdr + info + masks + pix, "bmp", nb=4)
+        np.testing.assert_array_equal(out, a)
+
+    def test_bmp_bitfields_swapped_masks_raise(self):
+        import struct
+
+        from gdalcubes_spark import codecs
+        pix = bytes(16)
+        masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+        off = 14 + 40 + len(masks)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, len(pix),
+                           2835, 2835, 0, 0)
+        with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
+            codecs.decode(hdr + info + masks + pix, "bmp")
+
+
+class TestReviewPassAnimation:
+    def test_anmf_without_vp8x_fails_fast(self):
+        from gdalcubes_spark import codecs
+        # a container whose only chunk is an ANMF: must raise BEFORE any
+        # frame decode (the old fallback decoded everything, then raised)
+        anmf = bytes(16) + b"VP8L\x00\x00\x00\x00"
+        body = b"WEBP" + b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+        blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+        with pytest.raises(ValueError, match="without a VP8X"):
+            codecs.webp_decode_frames(blob)
+
+    def test_gif_max_frames_stops_decoding_true_count_reported(self):
+        from gdalcubes_spark import codecs
+        from gdalcubes_spark.gifcodec import encode_gif_animation
+        frames = [(np.full((1, 8, 8), 20 * i, np.uint8), 5)
+                  for i in range(10)]
+        blob = encode_gif_animation(frames)
+        decoded, durs = codecs.decode_frames(blob, "gif", max_frames=3)
+        assert len(decoded) == 3 and len(durs) == 3
+        assert codecs.count_frames(blob, "gif") == 10
+
+    def test_webp_animation_count_and_cap(self):
+        from gdalcubes_spark import codecs
+        frames = [np.full((3, 8, 8), 30 * i, np.uint8) for i in range(5)]
+        blob = codecs.webp_encode_animation(frames, [10] * 5)
+        assert codecs.count_frames(blob, "webp") == 5
+        decoded, _ = codecs.webp_decode_frames(blob, max_frames=2)
+        assert len(decoded) == 2
+        # still image counts 1
+        still = codecs.encode(frames[0], "webp")
+        assert codecs.count_frames(still, "webp") == 1
+
+    def test_sample_animation_frames_reports_true_n_frames(self, spark):
+        import pandas as pd
+
+        from gdalcubes_spark.gifcodec import encode_gif_animation
+        from gdalcubes_spark.pipeline.multimodal import \
+            sample_animation_frames
+        blob = encode_gif_animation(
+            [(np.full((1, 8, 8), 20 * i, np.uint8), 5) for i in range(10)])
+        inv = spark.createDataFrame(
+            pd.DataFrame([dict(image_id="g", bytes=blob, fmt="gif")]))
+        out = sample_animation_frames(inv, max_frames=4).toPandas()
+        assert len(out) == 4
+        assert set(out["n_frames"]) == {10}  # TRUE length, not the cap
+        assert out["frame_idx"].max() == 3

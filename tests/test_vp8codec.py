@@ -277,7 +277,8 @@ def test_rgb_conversion_properties():
     assert (rgb[0] == rgb[1]).all() and (rgb[1] == rgb[2]).all()
     lum = []
     for val in (16, 100, 200, 235):
-        lum.append(int(yuv_to_rgb(np.full((1, 1), val, np.uint8), u, v)[1]))
+        lum.append(
+            int(yuv_to_rgb(np.full((1, 1), val, np.uint8), u, v)[1, 0, 0]))
     assert lum == sorted(lum)
 
 
