@@ -684,28 +684,6 @@ def _q_image_quality(spark, sf_dir):
     return image_quality(generate_images(_utc(spark), 48, lay), quality=35)
 
 
-def _q_events_window(spark, sf_dir):
-    """Windowed event aggregation (the streaming layer's batch-equivalent
-    plan; Structured Streaming variant in gdalcubes_spark.streaming)."""
-    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
-            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-                    "event_type", "n", "sum_value"))
-
-
-def _q_events_sliding(spark, sf_dir):
-    """SLIDING-window aggregation (1 h window, 15 min slide — each event in
-    4 overlapping windows), the streaming layer's other windowing semantic;
-    oracled by enumerating slide-aligned starts in DuckDB."""
-    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes").alias("w"),
-                       "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
-            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-                    "event_type", "n", "sum_value"))
-
-
 def _q_events_asof(spark, sf_dir):
     """AS-OF join (an operator Spark lacks as a primitive): every 'click'
     event attached to the user's latest prior-or-equal per-minute 'view'
@@ -1033,6 +1011,178 @@ _AUDIO_META_ORACLE_SQL = """
 """
 
 
+def _q_video_keyframe_oracle(spark, sf_dir):
+    """ISO-BMFF demux value-hash-gated end-to-end: deterministic minimal
+    MP4s (ftyp+mdat+moov with varying stsc runs, stss keyframe marks and
+    per-sample stsz sizes) built executor-side from closed-form parameters;
+    video_keyframe_index must expand stsc x stco x stsz x stts x stss into
+    the exact byte-range plan — offsets/timestamps/sizes all reconstructible
+    in pure SQL (window cumsum over the size formula).  Covers the round-5
+    mp4meta module (reference analogue: planning which byte ranges a
+    distributed extractor reads, image_collection_cube.cpp's GDAL window
+    reads)."""
+    import pandas as pd
+
+    from gdalcubes_spark.pipeline.multimodal import video_keyframe_index
+
+    def gen(batches):
+        import struct as st
+
+        def box(typ, payload):
+            return st.pack(">I", 8 + len(payload)) + typ + payload
+
+        def full(typ, payload):
+            return box(typ, b"\x00\x00\x00\x00" + payload)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 8 + (i * 5) % 12
+                delta = 10 + (i % 5) * 2
+                spc = 1 + i % 4
+                sizes = [50 + ((i * 7 + j * 13) % 40) for j in range(n)]
+                keys = [j + 1 for j in range(n) if j % 3 == 0]
+                ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                mdat = box(b"mdat", b"".join(bytes([s % 251]) * s
+                                             for s in sizes))
+                pos, chunk_offs = len(ftyp) + 8, []
+                for j, s in enumerate(sizes):
+                    if j % spc == 0:
+                        chunk_offs.append(pos)
+                    pos += s
+                dur = n * delta
+                mvhd = full(b"mvhd", st.pack(">II", 0, 0)
+                            + st.pack(">II", 600, dur) + bytes(80))
+                tkhd = full(b"tkhd", st.pack(">II", 0, 0)
+                            + st.pack(">I", 7) + bytes(4)
+                            + st.pack(">I", dur) + bytes(52)
+                            + st.pack(">II", 64 << 16, 48 << 16))
+                mdhd = full(b"mdhd", st.pack(">II", 0, 0)
+                            + st.pack(">II", 600, dur) + bytes(4))
+                hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"v\x00")
+                entry = box(b"avc1", bytes(6) + st.pack(">H", 1) + bytes(16)
+                            + st.pack(">HH", 64, 48) + bytes(50))
+                stbl = box(b"stbl",
+                           full(b"stsd", st.pack(">I", 1) + entry)
+                           + full(b"stts", st.pack(">III", 1, n, delta))
+                           + full(b"stss", st.pack(">I", len(keys))
+                                  + b"".join(st.pack(">I", k) for k in keys))
+                           + full(b"stsz", st.pack(">II", 0, n)
+                                  + b"".join(st.pack(">I", s) for s in sizes))
+                           + full(b"stsc", st.pack(">I", 1)
+                                  + st.pack(">III", 1, spc, 1))
+                           + full(b"stco", st.pack(">I", len(chunk_offs))
+                                  + b"".join(st.pack(">I", o)
+                                             for o in chunk_offs)))
+                moov = box(b"moov", mvhd + box(b"trak", tkhd + box(
+                    b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+                rows.append(dict(video_id=f"vid_{i:04d}",
+                                 bytes=ftyp + mdat + moov))
+            yield (pd.DataFrame(rows, columns=["video_id", "bytes"])
+                   if rows else pd.DataFrame(
+                       {c: pd.Series(dtype="object")
+                        for c in ["video_id", "bytes"]}))
+
+    inv = spark.range(0, 24, numPartitions=8).mapInPandas(
+        gen, "video_id string, bytes binary")
+    out = video_keyframe_index(inv)
+    return out.select("video_id", "sample_idx",
+                      F.round("t_s", 6).alias("t_s"), "offset", "size_bytes")
+
+
+_VIDEO_KEYFRAME_ORACLE_SQL = """
+    WITH p AS (
+      SELECT i, 8 + (i * 5) % 12 AS n, 10 + (i % 5) * 2 AS delta
+      FROM range(24) t(i)
+    ),
+    s AS (
+      SELECT i, j, delta, 50 + ((i * 7 + j * 13) % 40) AS sz
+      FROM p CROSS JOIN range(20) u(j) WHERE j < n
+    ),
+    c AS (
+      SELECT i, j, delta, sz,
+             32 + COALESCE(SUM(sz) OVER (
+               PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM s
+    )
+    SELECT printf('vid_%04d', CAST(i AS INTEGER)) AS video_id,
+           CAST(j AS INTEGER) AS sample_idx,
+           ROUND(j * delta / 600.0, 6) AS t_s,
+           CAST(off AS BIGINT) AS offset,
+           CAST(sz AS BIGINT) AS size_bytes
+    FROM c WHERE j % 3 = 0
+"""
+
+
+def _q_media_meta_oracle(spark, sf_dir):
+    """The three crafted-media oracles (REAL GIF entropy decode, MP3 frame
+    walk, ISO-BMFF keyframe plan) unioned onto one (media_id, kind, idx, t,
+    v1, v2) schema — ONE driver-gate row so the oracled set stays inside
+    the driver's query budget while still value-hash-gating all three
+    codec/metadata paths."""
+    g = _q_codec_gif_oracle(spark, sf_dir).select(
+        F.col("image_id").alias("media_id"),
+        F.lit("gif_frame").alias("kind"),
+        F.col("frame_idx").alias("idx"),
+        F.col("t_ms").cast("double").alias("t"),
+        F.col("frame_mean").alias("v1"),
+        F.col("n_frames").cast("double").alias("v2"))
+    a = _q_audio_meta_oracle(spark, sf_dir).select(
+        F.col("clip_id").alias("media_id"),
+        F.lit("mp3").alias("kind"),
+        F.col("n_frames").alias("idx"),
+        F.col("duration_s").alias("t"),
+        F.col("bitrate_kbps").alias("v1"),
+        F.col("sample_rate").cast("double").alias("v2"))
+    v = _q_video_keyframe_oracle(spark, sf_dir).select(
+        F.col("video_id").alias("media_id"),
+        F.lit("mp4_key").alias("kind"),
+        F.col("sample_idx").alias("idx"),
+        F.col("t_s").alias("t"),
+        F.col("offset").cast("double").alias("v1"),
+        F.col("size_bytes").cast("double").alias("v2"))
+    return g.unionAll(a).unionAll(v)
+
+
+_MEDIA_META_ORACLE_SQL = f"""
+    SELECT image_id AS media_id, 'gif_frame' AS kind, frame_idx AS idx,
+           CAST(t_ms AS DOUBLE) AS t, frame_mean AS v1,
+           CAST(n_frames AS DOUBLE) AS v2
+    FROM ({_CODEC_GIF_ORACLE_SQL})
+    UNION ALL
+    SELECT clip_id, 'mp3', n_frames, duration_s, bitrate_kbps,
+           CAST(sample_rate AS DOUBLE)
+    FROM ({_AUDIO_META_ORACLE_SQL})
+    UNION ALL
+    SELECT video_id, 'mp4_key', sample_idx, t_s, CAST("offset" AS DOUBLE),
+           CAST(size_bytes AS DOUBLE)
+    FROM ({_VIDEO_KEYFRAME_ORACLE_SQL})
+"""
+
+
+def _q_events_windows(spark, sf_dir):
+    """Tumbling (1 h) and sliding (1 h / 15 min — each event in 4 windows)
+    event aggregation in one driver row, distinguished by `kind`; the two
+    streaming windowing semantics of gdalcubes_spark.streaming."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+
+    def agg(kind, *win):
+        return (ev.groupBy(
+                    F.window(F.col("ts").cast("timestamp"), *win).alias("w"),
+                    "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 6).alias("sum_value"))
+                .select(F.lit(kind).alias("kind"),
+                        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                         .alias("window_start"),
+                        "event_type", "n", "sum_value"))
+
+    return agg("tumbling", "1 hour").unionAll(
+        agg("sliding", "1 hour", "15 minutes"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ALL DuckDB-oracled queries first, rows-only last: the driver runs the
     dict in order under a budget, and an oracled query it never reaches has
@@ -1062,8 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_join_bands": _q_join_bands,
         "cube_apply_time_cumsum": _q_apply_time_cumsum,
         "scan_raw_oracle": _q_scan_raw_oracle,
-        "codec_gif_oracle": _q_codec_gif_oracle,
-        "audio_meta_oracle": _q_audio_meta_oracle,
+        "media_meta_oracle": _q_media_meta_oracle,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
         "text_tfidf": _q_text_tfidf,
@@ -1089,8 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "semantic_dedup": _q_semantic_dedup,
         "knn_tiles": _q_knn_tiles,
-        "events_window": _q_events_window,
-        "events_sliding": _q_events_sliding,
+        "events_windows": _q_events_windows,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
         # ---- rows-only (binary decode / approximate by design; each has a
@@ -1312,25 +1460,27 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
             WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
         """,
-        "events_window": """
-            SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        "events_windows": """
+            SELECT 'tumbling' AS kind,
+                   STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "events_sliding": """
-            WITH e AS (
-              SELECT event_type, value, epoch(ts) AS es,
-                     (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS b
-              FROM events
-            ),
-            x AS (
-              SELECT make_timestamp((b - k * 900) * 1000000) AS ws, event_type, value
-              FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
-              WHERE (b - k * 900) <= es AND es < (b - k * 900) + 3600
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', window_start, event_type, n, sum_value FROM (
+              WITH e AS (
+                SELECT event_type, value, epoch(ts) AS es,
+                       (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS b
+                FROM events
+              ),
+              x AS (
+                SELECT make_timestamp((b - k * 900) * 1000000) AS ws, event_type, value
+                FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
+                WHERE (b - k * 900) <= es AND es < (b - k * 900) + 3600
+              )
+              SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                     COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+              FROM x GROUP BY 1, 2
             )
-            SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-                   COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-            FROM x GROUP BY 1, 2
         """,
         "events_asof": """
             WITH clicks AS (
@@ -1499,8 +1649,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab l JOIN sz USING (cluster)
         """,
         "scan_raw_oracle": _SCAN_RAW_ORACLE_SQL,
-        "codec_gif_oracle": _CODEC_GIF_ORACLE_SQL,
-        "audio_meta_oracle": _AUDIO_META_ORACLE_SQL,
+        "media_meta_oracle": _MEDIA_META_ORACLE_SQL,
         "cube_apply_time_cumsum": _CELLS_CTE + """
             SELECT it, iy, ix, CAST('v_csum' AS VARCHAR) AS band,
                    SUM(value) OVER (PARTITION BY iy, ix ORDER BY it
