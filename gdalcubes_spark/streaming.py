@@ -501,3 +501,61 @@ def streaming_events_sessions(stream: DataFrame, watermark: str = "10 minutes",
             .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events", "sum_value"))
+
+
+def streaming_ivf_assign(stream: DataFrame, centroids,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Incremental IVF index build over a continuous embedding feed.
+
+    Assigns every arriving vector to its nearest (cosine) coarse centroid —
+    STATELESS: the centroid matrix is broadcast-sized (k x dim, trained
+    offline by distributed_kmeans / ivf_topk's Lloyd pass), so this is pure
+    Arrow-batched map work at any ingest rate.  Downstream,
+    ``writeStream.partitionBy("centroid")`` turns the feed into an
+    incrementally-growing IVF-flat index whose directory layout is exactly
+    what the batch probe side prunes on (the ivfpq_encode partition-pruning
+    contract) — the lambda-architecture unification for ANN.  Emits
+    (id, centroid, sim, vector) so the sink stores everything the re-rank
+    needs.
+
+    The reference has no streaming plane at all (stream.h:38-120 is an
+    external-process byte protocol over finished chunks); this operator is
+    Spark-native surface beyond it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype="float64")
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("centroid", T.IntegerType(), False),
+        T.StructField("sim", T.DoubleType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    "vec_id": pd.Series(dtype="int64"),
+                    "centroid": pd.Series(dtype="int32"),
+                    "sim": pd.Series(dtype="float64"),
+                    "embedding": pd.Series(dtype="object")})
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                                1e-12)
+            S = En @ C.T
+            a = np.argmax(S, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy().astype("int64"),
+                "centroid": a.astype("int32"),
+                "sim": S[np.arange(len(a)), a],
+                "embedding": [r.tolist() for r in E]})
+
+    return stream.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema)

@@ -407,3 +407,78 @@ class TestStreamingSessions:
         assert len(g) == len(w)
         assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
         assert np.allclose(g["sum_value"].to_numpy(), w["sum_value"].to_numpy())
+
+
+class TestStreamingIVFAssign:
+    """streaming_ivf_assign: stateless centroid assignment over a feed,
+    building a partition-pruned IVF index incrementally."""
+
+    def _centroids(self):
+        import numpy as np
+        # three well-separated unit directions in R^4
+        return np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
+                        dtype="float64")
+
+    def _vecs(self, n=30):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        base = self._centroids()
+        rows = []
+        for i in range(n):
+            v = base[i % 3] + 0.05 * rng.standard_normal(4)
+            rows.append((i, [float(x) for x in v]))
+        return rows
+
+    def test_batch_parity(self, spark):
+        from gdalcubes_spark.pipeline.clustering import kmeans_assign
+        from gdalcubes_spark.streaming import streaming_ivf_assign
+        C = self._centroids()
+        df = spark.createDataFrame(self._vecs(),
+                                   "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["centroid"]
+               for r in streaming_ivf_assign(df, C).collect()}
+        want = {r["vid"]: r["centroid"]
+                for r in kmeans_assign(df, C).collect()}
+        assert got == want
+        # every vector should land on its generating centroid
+        assert all(got[i] == i % 3 for i in got)
+
+    def test_incremental_partitioned_index(self, spark, tmp_path):
+        from gdalcubes_spark.streaming import streaming_ivf_assign
+        C = self._centroids()
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "idx", "ck"))
+        rows = self._vecs(24)
+        df1 = spark.createDataFrame(rows[:12],
+                                    "vec_id long, embedding array<double>")
+        df1.coalesce(1).write.parquet(src)
+
+        def run():
+            stream = (spark.readStream
+                      .schema("vec_id long, embedding array<double>")
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = (streaming_ivf_assign(stream, C).writeStream
+                 .format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .partitionBy("centroid")
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run()
+        got1 = spark.read.parquet(out)
+        assert got1.count() == 12
+        # second drop of files → index GROWS in place, exactly once
+        spark.createDataFrame(rows[12:],
+                              "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("append").parquet(src)
+        run()
+        got2 = spark.read.parquet(out)
+        assert got2.count() == 24
+        assert sorted(r["vec_id"] for r in got2.collect()) == list(range(24))
+        # the partition layout IS the IVF candidate cut: a single-list probe
+        # must scan only its directory (PartitionFilters, not a full read)
+        import os
+        dirs = {d for d in os.listdir(out) if d.startswith("centroid=")}
+        assert dirs == {"centroid=0", "centroid=1", "centroid=2"}
+        plan = (spark.read.parquet(out).filter("centroid = 1")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [isnotnull(centroid" in plan
