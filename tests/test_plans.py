@@ -149,3 +149,18 @@ class TestInventoryPartitionPruning:
         assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1))
         # the mosaic's value (200, aggregation=last, it's the highest id)
         assert np.all(a == 200.0)
+
+
+class TestDriverGatePlans:
+    def test_media_meta_oracle_is_shuffle_free(self, spark):
+        """The merged GIF/MP3/MP4 gate must stay pure map work: three
+        generate->parse mapInPandas branches under a plan-level Union —
+        ZERO Exchanges (no shuffle surface at any scale)."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as E
+        df = E.queries()["media_meta_oracle"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 6  # generate+parse x 3 kinds
+        assert plan.startswith("Union")
