@@ -760,12 +760,24 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 scan_comps.append(dict(comp=comp, td=tt >> 4, ta=tt & 0x0F))
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
-            # find entropy segment end: next marker that is not stuffing/RST
+            # find entropy segment end: next marker that is not stuffing/RST.
+            # bytes.find jumps between 0xFF bytes instead of walking every
+            # entropy byte in Python (the old per-byte loop was ~30% of a
+            # small-image decode); identical end position.
             p = pos
-            while p < len(data) - 1:
-                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7):
+            n_data = len(data)
+            while p < n_data - 1:
+                q = data.find(b"\xff", p, n_data - 1)
+                if q == -1:
+                    p = n_data - 1
                     break
-                p += 1
+                nxt = data[q + 1]
+                if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                    p = q
+                    break
+                p = q + 2
+                if p > n_data - 1:
+                    p = n_data - 1
             scan = data[pos:p]
             pos = p
             if progressive:
@@ -821,10 +833,18 @@ def decode_baseline(data: bytes) -> np.ndarray:
                     for bx in range(comp["h"]):
                         row = blocks[ci][my * comp["v"] + by, mx * comp["h"] + bx]
                         # --- DC symbol
-                        while nbits < 16 and pos < dlen:
-                            buf = (buf << 8) | d[pos]
-                            pos += 1
-                            nbits += 8
+                        # refills pull 6 bytes per int.from_bytes instead of
+                        # one byte per loop turn; a single chunk either
+                        # reaches the 16-bit lookahead or exhausts the
+                        # segment, exactly like the old per-byte loop
+                        if nbits < 16 and pos < dlen:
+                            take = dlen - pos
+                            if take > 6:
+                                take = 6
+                            buf = (buf << (take << 3)) | int.from_bytes(
+                                d[pos:pos + take], "big")
+                            pos += take
+                            nbits += take << 3
                         idx = ((buf >> (nbits - 16)) if nbits >= 16
                                else (buf << (16 - nbits))) & 0xFFFF
                         ln = dln[idx]
@@ -836,10 +856,14 @@ def decode_baseline(data: bytes) -> np.ndarray:
                             nbits = 0
                         buf &= (1 << nbits) - 1
                         if s:
-                            while nbits < s and pos < dlen:
-                                buf = (buf << 8) | d[pos]
-                                pos += 1
-                                nbits += 8
+                            if nbits < s and pos < dlen:
+                                take = dlen - pos
+                                if take > 6:
+                                    take = 6
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    d[pos:pos + take], "big")
+                                pos += take
+                                nbits += take << 3
                             if nbits < s:  # truncated: missing bits read 0
                                 buf <<= s - nbits
                                 nbits = s
@@ -851,10 +875,14 @@ def decode_baseline(data: bytes) -> np.ndarray:
                         # --- AC run-length symbols
                         k = 1
                         while k < 64:
-                            while nbits < 16 and pos < dlen:
-                                buf = (buf << 8) | d[pos]
-                                pos += 1
-                                nbits += 8
+                            if nbits < 16 and pos < dlen:
+                                take = dlen - pos
+                                if take > 6:
+                                    take = 6
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    d[pos:pos + take], "big")
+                                pos += take
+                                nbits += take << 3
                             idx = ((buf >> (nbits - 16)) if nbits >= 16
                                    else (buf << (16 - nbits))) & 0xFFFF
                             ln = aln[idx]
@@ -874,10 +902,14 @@ def decode_baseline(data: bytes) -> np.ndarray:
                             k += rs >> 4
                             if k > 63:
                                 break
-                            while nbits < s and pos < dlen:
-                                buf = (buf << 8) | d[pos]
-                                pos += 1
-                                nbits += 8
+                            if nbits < s and pos < dlen:
+                                take = dlen - pos
+                                if take > 6:
+                                    take = 6
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    d[pos:pos + take], "big")
+                                pos += take
+                                nbits += take << 3
                             if nbits < s:
                                 buf <<= s - nbits
                                 nbits = s

