@@ -170,6 +170,15 @@ class Cube:
         view = out_view or self.view
         bands = list(out_bands or self.bands)
         chunking = out_chunking or self.chunking
+        # scan-side fusion: a cube produced by raster_cube exposes a rebuild
+        # hook that applies the tensor fn INSIDE the scan's build UDF (after
+        # aggregation, before pack/emit) — the narrow op then costs zero
+        # extra Arrow round trips and, when it narrows the tensor (e.g. an
+        # NDVI apply_pixel halving band count), the downstream shuffle moves
+        # the narrowed bytes
+        hook = getattr(self, "_fuse_into_scan", None)
+        if hook is not None:
+            return hook(fn, view, bands, chunking)
         base = self._fuse_base if self._fuse_base is not None else self.df
         chain = tuple(self._fuse_chain) + (fn,)
 

@@ -373,14 +373,18 @@ def encode_baseline(a: np.ndarray, quality: int = 90, subsampling: str = "444",
                             code, ln = ac_tab[0x00]  # EOB
                             buf = (buf << ln) | code
                             nbits += ln
-                        # drain whole bytes with stuffing
-                        while nbits >= 8:
-                            b8 = (buf >> (nbits - 8)) & 0xFF
-                            emit.append(b8)
-                            if b8 == 0xFF:
-                                emit.append(0x00)
-                            nbits -= 8
-                        buf &= (1 << nbits) - 1
+                        # drain whole bytes in one int.to_bytes + stuffing
+                        # via bytes.replace — identical to the old per-byte
+                        # loop (stuffing inserts 0x00 after EVERY 0xFF byte)
+                        nby = nbits >> 3
+                        if nby:
+                            rem = nbits & 7
+                            chunk = (buf >> rem).to_bytes(nby, "big")
+                            if b"\xff" in chunk:
+                                chunk = chunk.replace(b"\xff", b"\xff\x00")
+                            emit += chunk
+                            nbits = rem
+                            buf &= (1 << rem) - 1
     bw.buf, bw.nbits = buf, nbits
     bw.flush()
 

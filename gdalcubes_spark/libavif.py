@@ -131,7 +131,12 @@ def decode_rgba(data: bytes) -> np.ndarray:
     if lib is None:
         raise RuntimeError("no system libavif available")
     dec = lib.avifDecoderCreate()
+    if not dec:
+        raise RuntimeError("avifDecoderCreate returned NULL")
     img = lib.avifImageCreateEmpty()
+    if not img:
+        lib.avifDecoderDestroy(ctypes.c_void_p(dec))
+        raise RuntimeError("avifImageCreateEmpty returned NULL")
     try:
         rc = lib.avifDecoderReadMemory(ctypes.c_void_p(dec),
                                        ctypes.c_void_p(img), data,
@@ -193,11 +198,19 @@ def encode_rgba(a: np.ndarray, max_quantizer: int = 10,
         if rc != 0:
             raise ValueError(f"avifImageRGBToYUV failed ({rc})")
         enc = lib.avifEncoderCreate()
-        emem = ctypes.cast(ctypes.c_void_p(enc),
-                           ctypes.POINTER(ctypes.c_int))
-        emem[2] = speed          # avifEncoder.speed @ offset 8
-        emem[8] = 0              # minQuantizer @ 32
-        emem[9] = max_quantizer  # maxQuantizer @ 36
+        if not enc:
+            raise RuntimeError("avifEncoderCreate returned NULL")
+        if _rgb_layout == _RGB_LAYOUTS[0]:
+            # speed/quantizer int offsets are the 0.11.x avifEncoder layout;
+            # on a >=1.0 build (probed via the rgb layout) the same offsets
+            # land on different config fields (keyframeInterval/autoTiling),
+            # so skip the pokes there and keep the library defaults —
+            # output validity is unaffected, only quality/speed knobs
+            emem = ctypes.cast(ctypes.c_void_p(enc),
+                               ctypes.POINTER(ctypes.c_int))
+            emem[2] = speed          # avifEncoder.speed @ offset 8
+            emem[8] = 0              # minQuantizer @ 32
+            emem[9] = max_quantizer  # maxQuantizer @ 36
         out = (ctypes.c_uint8 * 16)()  # avifRWData {ptr, size}
         rc = lib.avifEncoderWrite(ctypes.c_void_p(enc),
                                   ctypes.c_void_p(img), out)

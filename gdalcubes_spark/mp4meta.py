@@ -32,6 +32,8 @@ def walk_boxes(b: bytes, start: int = 0, end: int | None = None):
         typ = b[pos + 4:pos + 8]
         hdr = 8
         if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
             (size,) = struct.unpack(">Q", b[pos + 8:pos + 16])
             hdr = 16
         elif size == 0:
@@ -171,7 +173,12 @@ def sample_table(b: bytes, trak: dict):
     (nruns,) = struct.unpack(">I", b[stsc[0] + 4:stsc[0] + 8])
     runs = np.frombuffer(b, ">u4", count=nruns * 3,
                          offset=stsc[0] + 8).reshape(nruns, 3)
-    spc = np.empty(nch, np.int64)
+    if nruns == 0 or int(runs[0][0]) != 1:
+        # a valid stsc must start at chunk 1; anything else would leave
+        # uninitialized samples-per-chunk entries and silently garble the
+        # byte-range plan — fail like walk_boxes does on corrupt boxes
+        raise ValueError("corrupt stsc: first run must cover chunk 1")
+    spc = np.zeros(nch, np.int64)
     for i in range(nruns):
         first = int(runs[i][0]) - 1
         last = int(runs[i + 1][0]) - 1 if i + 1 < nruns else nch

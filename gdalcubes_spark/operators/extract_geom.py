@@ -203,8 +203,10 @@ def extract_geom(cube: Cube, features: DataFrame, time_column: Optional[str] = N
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     # chunk-mask pruning analogue (extract_geom.cpp:164-218): only chunks with
-    # candidate features enter the cogroup — a semi-join Catalyst can broadcast
-    pruned = cube.df.join(fb.select("chunk_id").distinct(), "chunk_id", "left_semi")
+    # candidate features enter the cogroup — a semi-join Catalyst can
+    # broadcast. No distinct on the build side: left_semi dedupes by
+    # construction, and the distinct was one whole extra exchange.
+    pruned = cube.df.join(fb.select("chunk_id"), "chunk_id", "left_semi")
     # pin the cogroup's task count on BOTH sides (PIP/extract cost per byte ≫
     # columnar work — see pin_group_partitions' AQE note)
     joined = (pin_group_partitions(pruned, "chunk_id", g.n_chunks).groupBy("chunk_id")

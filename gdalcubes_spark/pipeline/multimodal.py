@@ -51,10 +51,12 @@ def decode_features(images: DataFrame, resize: Tuple[int, int] = (8, 8)) -> Data
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                a = codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+            for iid, payload, fmt in zip(pdf["image_id"].to_numpy(),
+                                         pdf["bytes"].to_numpy(),
+                                         pdf["fmt"].to_numpy()):
+                a = codecs.decode(bytes(payload), fmt).astype("float64")
                 th = _resize_nearest(a, h2, w2)
-                rows.append(dict(image_id=row["image_id"], nb=a.shape[0], h=a.shape[1], w=a.shape[2],
+                rows.append(dict(image_id=iid, nb=a.shape[0], h=a.shape[1], w=a.shape[2],
                                  band_means=list(a.mean(axis=(1, 2))),
                                  band_stds=list(a.std(axis=(1, 2))),
                                  thumb=list(th.ravel()),
@@ -78,13 +80,10 @@ def translate_format(images: DataFrame, to_fmt: str) -> DataFrame:
                 yield pdf
                 continue
             out = pdf.copy()
-            payloads, fmts = [], []
-            for _, row in pdf.iterrows():
-                a = codecs.decode(bytes(row["bytes"]), row["fmt"])
-                payloads.append(codecs.encode(a, to_fmt))
-                fmts.append(to_fmt)
+            payloads = [codecs.encode(codecs.decode(bytes(pl), fm), to_fmt)
+                        for pl, fm in zip(pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy())]
             out["bytes"] = payloads
-            out["fmt"] = fmts
+            out["fmt"] = [to_fmt] * len(pdf)
             yield out
 
     return images.mapInPandas(gen, images.schema)
@@ -111,8 +110,10 @@ def create_overviews(images: DataFrame, levels=(2, 4, 8), fmt: str = "png") -> D
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                a = codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+            for iid, payload, fmt_in in zip(pdf["image_id"].to_numpy(),
+                                            pdf["bytes"].to_numpy(),
+                                            pdf["fmt"].to_numpy()):
+                a = codecs.decode(bytes(payload), fmt_in).astype("float64")
                 nb, h, w = a.shape
                 for lv in levels:
                     oh, ow = h // lv, w // lv
@@ -121,7 +122,7 @@ def create_overviews(images: DataFrame, levels=(2, 4, 8), fmt: str = "png") -> D
                     blocks = (a[:, : oh * lv, : ow * lv]
                               .reshape(nb, oh, lv, ow, lv).mean(axis=(2, 4)))
                     enc = codecs.encode(np.clip(np.rint(blocks), 0, 255).astype(np.uint8), fmt)
-                    rows.append(dict(image_id=row["image_id"], level=int(lv),
+                    rows.append(dict(image_id=iid, level=int(lv),
                                      w=ow, h=oh, fmt=fmt, bytes=enc))
             yield pd.DataFrame(rows, columns=[f.name for f in OVERVIEW_SCHEMA.fields]) if rows else \
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in OVERVIEW_SCHEMA.fields})
@@ -204,8 +205,9 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                raw = bytes(row["pcm"])
+            for cid, payload in zip(pdf["clip_id"].to_numpy(),
+                                    pdf["pcm"].to_numpy()):
+                raw = bytes(payload)
                 if raw[:4] in (b"fLaC", b"ID3\x03", b"OggS"):
                     raise NotImplementedError("compressed audio decode needs an audio lib (STUB)")
                 if raw[:4] == b"RIFF":  # genuine .wav container (decode_wav)
@@ -228,7 +230,7 @@ def audio_features(clips: DataFrame, sample_rate: int = 16000) -> DataFrame:
                     dominant = float(freqs[int(np.argmax(mag))]) if tot > 0 else 0.0
                 else:
                     centroid = dominant = 0.0
-                rows.append(dict(clip_id=row["clip_id"], n_samples=len(x),
+                rows.append(dict(clip_id=cid, n_samples=len(x),
                                  rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
                                  zero_crossings=zc,
                                  spectral_centroid_hz=round(centroid, 3),
@@ -267,9 +269,10 @@ def audio_info(clips: DataFrame) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                meta = parse_audio(bytes(row["bytes"]))
-                meta["clip_id"] = row["clip_id"]
+            for cid, payload in zip(pdf["clip_id"].to_numpy(),
+                                    pdf["bytes"].to_numpy()):
+                meta = parse_audio(bytes(payload))
+                meta["clip_id"] = cid
                 rows.append(meta)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_INFO_SCHEMA.fields]) \
@@ -297,15 +300,19 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                raw = bytes(row["frames"])
+            for vid, payload, w, h, n in zip(pdf["video_id"].to_numpy(),
+                                             pdf["frames"].to_numpy(),
+                                             pdf["w"].to_numpy(),
+                                             pdf["h"].to_numpy(),
+                                             pdf["n_frames"].to_numpy()):
+                raw = bytes(payload)
                 if raw[:4] == b"\x00\x00\x00\x18" or raw[:3] == b"FLV":
                     raise NotImplementedError("real video decode needs ffmpeg (STUB)")
-                w, h, n = int(row["w"]), int(row["h"]), int(row["n_frames"])
+                w, h, n = int(w), int(h), int(n)
                 plane = w * h
                 for i in range(0, n, every_n):
                     f = np.frombuffer(raw, dtype=np.uint8, count=plane, offset=i * plane)
-                    rows.append(dict(video_id=row["video_id"], frame_idx=i,
+                    rows.append(dict(video_id=vid, frame_idx=i,
                                      frame_mean=float(f.mean())))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields]) if rows else \
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in VIDEO_SCHEMA.fields})
@@ -336,13 +343,14 @@ def video_container_info(videos: DataFrame) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                info = parse_mp4(bytes(row["bytes"]))
+            for vid, payload in zip(pdf["video_id"].to_numpy(),
+                                    pdf["bytes"].to_numpy()):
+                info = parse_mp4(bytes(payload))
                 for t in info["tracks"]:
                     if t["handler"] != "vide":
                         continue
                     rows.append(dict(
-                        video_id=row["video_id"], brand=info["brand"],
+                        video_id=vid, brand=info["brand"],
                         codec=t["codec"], width=t["width"],
                         height=t["height"], duration_s=t["duration_s"],
                         n_samples=t["n_samples"],
@@ -380,15 +388,16 @@ def video_keyframe_index(videos: DataFrame) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                b = bytes(row["bytes"])
+            for vid, payload in zip(pdf["video_id"].to_numpy(),
+                                    pdf["bytes"].to_numpy()):
+                b = bytes(payload)
                 for t in parse_mp4(b)["tracks"]:
                     if t["handler"] != "vide":
                         continue
                     for si, off, size, ts, key in sample_table(b, t):
                         if key:
                             rows.append(dict(
-                                video_id=row["video_id"], sample_idx=si,
+                                video_id=vid, sample_idx=si,
                                 t_s=ts, offset=off, size_bytes=size))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in KEYFRAME_SCHEMA.fields]) \
@@ -431,8 +440,10 @@ def sample_animation_frames(images: DataFrame, every_n: int = 1,
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                raw, fmt = bytes(row["bytes"]), row["fmt"]
+            for iid, payload, fmt in zip(pdf["image_id"].to_numpy(),
+                                         pdf["bytes"].to_numpy(),
+                                         pdf["fmt"].to_numpy()):
+                raw = bytes(payload)
                 # decode STOPS at max_frames (no decode-then-truncate);
                 # n_frames reports the TRUE animation length via a cheap
                 # container walk, so consumers keying on it are not clipped
@@ -444,7 +455,7 @@ def sample_animation_frames(images: DataFrame, every_n: int = 1,
                     if i % every_n == 0:
                         rgb = f[1:].astype(np.float64)
                         rows.append(dict(
-                            image_id=row["image_id"], frame_idx=i, t_ms=t,
+                            image_id=iid, frame_idx=i, t_ms=t,
                             n_frames=n_total,
                             h=f.shape[1], w=f.shape[2],
                             frame_mean=float(rgb.mean()),
@@ -512,8 +523,10 @@ def image_quality(images: DataFrame, quality: int = 35) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                a = _codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+            for iid, payload, fmt in zip(pdf["image_id"].to_numpy(),
+                                         pdf["bytes"].to_numpy(),
+                                         pdf["fmt"].to_numpy()):
+                a = _codecs.decode(bytes(payload), fmt).astype("float64")
                 nb = a.shape[0]
                 ss, mse = [], []
                 for b in range(nb):
@@ -523,7 +536,7 @@ def image_quality(images: DataFrame, quality: int = 35) -> DataFrame:
                     mse.append(np.mean((orig.astype("float64") - re) ** 2))
                 m = float(np.mean(mse))
                 psnr = 99.0 if m < 1e-12 else 10.0 * np.log10(255.0 ** 2 / m)
-                rows.append(dict(image_id=row["image_id"], psnr=round(psnr, 6),
+                rows.append(dict(image_id=iid, psnr=round(psnr, 6),
                                  ssim=round(float(np.mean(ss)), 6)))
             yield pd.DataFrame(rows, columns=[f.name for f in QUALITY_SCHEMA.fields]) if rows else \
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in QUALITY_SCHEMA.fields})
@@ -558,8 +571,10 @@ def quality_pool_probe(images: DataFrame, factor: int = 2) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                a = codecs.decode(bytes(row["bytes"]), row["fmt"]).astype("float64")
+            for iid, payload, fmt in zip(pdf["image_id"].to_numpy(),
+                                         pdf["bytes"].to_numpy(),
+                                         pdf["fmt"].to_numpy()):
+                a = codecs.decode(bytes(payload), fmt).astype("float64")
                 nb, h, w = a.shape
                 oh, ow = h // factor, w // factor
                 crop = a[:, : oh * factor, : ow * factor]
@@ -568,7 +583,7 @@ def quality_pool_probe(images: DataFrame, factor: int = 2) -> DataFrame:
                 for ib in range(nb):
                     m = float(np.mean((crop[ib] - up[ib]) ** 2))
                     psnr = 99.0 if m < 1e-12 else round(10.0 * np.log10(255.0 ** 2 / m), 6)
-                    rows.append(dict(image_id=row["image_id"], band=ib, mse=m, psnr=psnr))
+                    rows.append(dict(image_id=iid, band=ib, mse=m, psnr=psnr))
             yield pd.DataFrame(rows, columns=[f.name for f in POOL_QUALITY_SCHEMA.fields]) if rows else \
                 pd.DataFrame({f.name: pd.Series(dtype="object") for f in POOL_QUALITY_SCHEMA.fields})
 

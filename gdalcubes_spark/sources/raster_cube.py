@@ -402,7 +402,8 @@ class _AggState:
 def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 chunking: Optional[ChunkGrid] = None, mask: Optional[ImageMask] = None,
                 salt: int = 0, band_sel: Optional[List[str]] = None,
-                use_overviews: bool = False) -> Cube:
+                use_overviews: bool = False, _post: tuple = (),
+                _out_meta=None) -> Cube:
     """Build a cube from the image inventory DataFrame (synth.IMAGE_SCHEMA).
 
     bands: names for the nb payload bands (the collection band dictionary).
@@ -417,7 +418,11 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
     cells) instead of full res; what gdalwarp does against a COG. Off by
     default because overview pixels are block means, so values differ from
     a full-res warp at the last ulp — enable when the view is much coarser
-    than the sources and the decode dominates (the usual 100 TB case)."""
+    than the sources and the decode dominates (the usual 100 TB case).
+    _post/_out_meta (internal — Cube.map_chunks' scan-fusion hook): tensor
+    fns applied inside the build/merge UDF after aggregation, with the
+    output cube's (view, bands, chunking); narrow ops chained onto the scan
+    then cost zero extra Arrow round trips (see map_chunks)."""
     g = chunking or default_chunking(view)
     view_epsg = parse_epsg(view.srs)
     full_bands = list(bands)
@@ -496,15 +501,21 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
             t = t[out_idx]  # drop the mask-only band from the output
         if np.all(np.isnan(t)):
             return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=t.shape[0], nt=t1c - t0c,
-                                  ny=nyc, nx=nxc, data=pack_tensor(t))])
+        for f in _post:  # fused narrow chain (map_chunks elision contract)
+            t = f(t, (kt, ky, kx))
+            if t is None or (isinstance(t, np.ndarray) and np.all(np.isnan(t))):
+                return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=t.shape[0], nt=t.shape[1],
+                                  ny=t.shape[2], nx=t.shape[3], data=pack_tensor(t))])
 
     out_bands = list(band_sel) if band_sel is not None else list(bands)
+    o_view, o_bands, o_chunking = _out_meta or (view, out_bands, g)
     if salt > 0 and agg in DECOMPOSABLE:
-        cube = _salted_scan(exploded, view, out_bands, g, mask, salt,
+        cube = _salted_scan(exploded, o_view, o_bands, g, mask, salt,
                             build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
                                        mask_idx, nb_payload, band_idx, out_idx,
-                                       use_overviews))
+                                       use_overviews),
+                            post=_post, out_chunking=o_chunking)
     else:
         # Pin the decode shuffle's task count: AQE coalesces by POST-SHUFFLE
         # BYTES, but this stage's rows are compressed image refs whose decode/
@@ -516,15 +527,24 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
         # (scheduler slack for per-chunk cost variance), capped by chunk count.
         out = (pin_group_partitions(exploded, "chunk_id", g.n_chunks)
                .groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA))
-        cube = Cube(out, view, out_bands, g)
-    # select_bands pushdown hook: rebuilding the scan with fewer bands
-    cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
-                                                   mask=mask, salt=salt, band_sel=list(names))
+        cube = Cube(out, o_view, o_bands, o_chunking)
+    if not _post:
+        # select_bands pushdown hook: rebuilding the scan with fewer bands
+        # (only valid on the bare scan — a fused chain would be dropped)
+        cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
+                                                       mask=mask, salt=salt, band_sel=list(names))
+    # narrow-op fusion hook (see Cube.map_chunks): rebuild this scan with the
+    # tensor fn appended to the in-build chain
+    cube._fuse_into_scan = lambda fn, fview, fbands, fchunking: raster_cube(
+        images, view, full_bands, chunking=g, mask=mask, salt=salt,
+        band_sel=band_sel, use_overviews=use_overviews,
+        _post=_post + (fn,), _out_meta=(fview, fbands, fchunking))
     return cube
 
 
 def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: ChunkGrid,
-                 mask: Optional[ImageMask], salt: int, build_ctx) -> Cube:
+                 mask: Optional[ImageMask], salt: int, build_ctx,
+                 post: tuple = (), out_chunking: Optional[ChunkGrid] = None) -> Cube:
     """Two-phase skew-proof scan: partial aggregation per (chunk_id, salt
     bucket of image_id), then merge per chunk_id. Bounds any single task to
     ~|images_in_chunk|/salt decodes (north-rule skew handling)."""
@@ -635,14 +655,18 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
             acc = acc[out_idx]
         if np.all(np.isnan(acc)):
             return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=acc.shape[0], nt=shape[1],
-                                  ny=shape[2], nx=shape[3], data=pack_tensor(acc))])
+        for f in post:  # fused narrow chain (map_chunks elision contract)
+            acc = f(acc, (kt, ky, kx))
+            if acc is None or (isinstance(acc, np.ndarray) and np.all(np.isnan(acc))):
+                return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=acc.shape[0], nt=acc.shape[1],
+                                  ny=acc.shape[2], nx=acc.shape[3], data=pack_tensor(acc))])
 
     salted = exploded.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
     part = (pin_group_partitions(salted, ["chunk_id", "_salt"], g.n_chunks * salt)
             .groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema))
     out = part.groupBy("chunk_id").applyInPandas(merge, CHUNK_SCHEMA)
-    return Cube(out, view, list(bands), g)
+    return Cube(out, view, list(bands), out_chunking or g)
 
 
 def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",

@@ -150,7 +150,10 @@ def make_row(i: int, layout: ImageLayout) -> dict:
 
 def generate_images(spark: SparkSession, n: int, layout: ImageLayout = ImageLayout(),
                     partitions: int = 0) -> DataFrame:
-    parts = partitions or max(1, min(n // 256 + 1, spark.sparkContext.defaultParallelism * 2))
+    # ~64 images per generation task (encode is ~1-3 ms/image CPU): the old
+    # 256-image floor left a 1920-image inventory on 8 of 32 cores while the
+    # downstream scan waited on the generation stage
+    parts = partitions or max(1, min(n // 64 + 1, spark.sparkContext.defaultParallelism * 2))
     base = spark.range(0, n, numPartitions=parts)
 
     def gen(batches: Iterable[pd.DataFrame]):
