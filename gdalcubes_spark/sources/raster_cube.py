@@ -200,10 +200,13 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
             y1 = np.clip(y0 + 1, 0, h - 1)
             wx = np.clip(u - np.floor(u), 0.0, 1.0)[None, None, :]
             wy = np.clip(v - np.floor(v), 0.0, 1.0)[None, :, None]
-            a00 = arr[:, y0[:, None], x0[None, :]].astype("float64")
-            a01 = arr[:, y0[:, None], x1[None, :]].astype("float64")
-            a10 = arr[:, y1[:, None], x0[None, :]].astype("float64")
-            a11 = arr[:, y1[:, None], x1[None, :]].astype("float64")
+            # gathers stay in the source dtype; the float64 weight products
+            # upcast exactly (uint8/uint16 values are exact in float64), so
+            # results are bit-identical without four full float64 copies
+            a00 = arr[:, y0[:, None], x0[None, :]]
+            a01 = arr[:, y0[:, None], x1[None, :]]
+            a10 = arr[:, y1[:, None], x0[None, :]]
+            a11 = arr[:, y1[:, None], x1[None, :]]
             vals = (a00 * (1 - wx) * (1 - wy) + a01 * wx * (1 - wy)
                     + a10 * (1 - wx) * wy + a11 * wx * wy)
             vals[:, ~in_y, :] = np.nan
