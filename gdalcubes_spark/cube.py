@@ -94,7 +94,15 @@ def chunk_stream(cube):
     INTO the wide op's first UDF — e.g. scan → apply_pixel → reduce gather
     runs the apply inside the gather's emit, removing a standalone
     mapInPandas node (one full-cube Arrow round-trip)."""
-    base = cube._fuse_base if cube._fuse_base is not None else cube.df
+    base = cube._fuse_base
+    if base is None:
+        # scan-fused cubes carry a LAZY bare-scan base (built only when a
+        # stream consumer actually wants it — see _attach_scan_fusion)
+        thunk = getattr(cube, "_fuse_base_thunk", None)
+        if thunk is not None:
+            base = cube._fuse_base = thunk()
+    if base is None:
+        base = cube.df
     chain = tuple(cube._fuse_chain or ())
     if not chain:
         return cube.df, (lambda t, coords: t)

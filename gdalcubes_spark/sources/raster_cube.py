@@ -200,13 +200,14 @@ def _sample_image(payload, fmt, native_bbox, img_epsg, xs, ys, view_epsg, resamp
             y1 = np.clip(y0 + 1, 0, h - 1)
             wx = np.clip(u - np.floor(u), 0.0, 1.0)[None, None, :]
             wy = np.clip(v - np.floor(v), 0.0, 1.0)[None, :, None]
-            # gathers stay in the source dtype; the float64 weight products
-            # upcast exactly (uint8/uint16 values are exact in float64), so
-            # results are bit-identical without four full float64 copies
-            a00 = arr[:, y0[:, None], x0[None, :]]
-            a01 = arr[:, y0[:, None], x1[None, :]]
-            a10 = arr[:, y1[:, None], x0[None, :]]
-            a11 = arr[:, y1[:, None], x1[None, :]]
+            # NOTE: the explicit astype is FASTER than uint8 gathers feeding
+            # mixed-dtype ufuncs (measured 0.68 vs 0.81 s / 2000 windows —
+            # numpy's buffered casting in u8*f64 products loses to one
+            # conversion); keep the float64 gathers
+            a00 = arr[:, y0[:, None], x0[None, :]].astype("float64")
+            a01 = arr[:, y0[:, None], x1[None, :]].astype("float64")
+            a10 = arr[:, y1[:, None], x0[None, :]].astype("float64")
+            a11 = arr[:, y1[:, None], x1[None, :]].astype("float64")
             vals = (a00 * (1 - wx) * (1 - wy) + a01 * wx * (1 - wy)
                     + a10 * (1 - wx) * wy + a11 * wx * wy)
             vals[:, ~in_y, :] = np.nan
@@ -402,11 +403,32 @@ class _AggState:
         return self.acc
 
 
+def _attach_scan_fusion(cube: Cube, make_df, chain: tuple) -> None:
+    """Wire Cube.map_chunks' scan-fusion hook onto a scan-produced cube.
+
+    make_df(chain) wraps the ALREADY-ANALYZED pre-groupBy DataFrame with a
+    build/merge UDF applying `chain` in-UDF — reusing the analyzed subtree
+    keeps each fused rebuild to one cheap applyInPandas wrap (a from-scratch
+    raster_cube rebuild cost ~0.3-0.6 s of driver-side analysis per narrow
+    op, eating the executor-side win). The bare-scan stream base is a THUNK:
+    only chunk_stream consumers (reduce partials, aggregate cut, window
+    emits) pay for building it, and they get the chain fused into their own
+    UDF with no packed intermediate; direct cube.df consumers get the
+    in-build fusion."""
+    def hook(fn, fview, fbands, fchunking):
+        new_chain = chain + (fn,)
+        fused = Cube(make_df(new_chain), fview, list(fbands), fchunking)
+        fused._fuse_chain = new_chain
+        fused._fuse_base_thunk = lambda: make_df(())
+        _attach_scan_fusion(fused, make_df, new_chain)
+        return fused
+    cube._fuse_into_scan = hook
+
+
 def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
                 chunking: Optional[ChunkGrid] = None, mask: Optional[ImageMask] = None,
                 salt: int = 0, band_sel: Optional[List[str]] = None,
-                use_overviews: bool = False, _post: tuple = (),
-                _out_meta=None) -> Cube:
+                use_overviews: bool = False) -> Cube:
     """Build a cube from the image inventory DataFrame (synth.IMAGE_SCHEMA).
 
     bands: names for the nb payload bands (the collection band dictionary).
@@ -422,10 +444,10 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
     default because overview pixels are block means, so values differ from
     a full-res warp at the last ulp — enable when the view is much coarser
     than the sources and the decode dominates (the usual 100 TB case).
-    _post/_out_meta (internal — Cube.map_chunks' scan-fusion hook): tensor
-    fns applied inside the build/merge UDF after aggregation, with the
-    output cube's (view, bands, chunking); narrow ops chained onto the scan
-    then cost zero extra Arrow round trips (see map_chunks)."""
+
+    The returned cube carries the scan-fusion hook (_attach_scan_fusion):
+    narrow ops chained onto it run inside the build/merge UDF after
+    aggregation — zero extra Arrow round trips (see Cube.map_chunks)."""
     g = chunking or default_chunking(view)
     view_epsg = parse_epsg(view.srs)
     full_bands = list(bands)
@@ -472,53 +494,53 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
 
     vleft, vtop = view.left, view.top
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(key[0])
-        kt, ky, kx = g.chunk_coords(cid)
-        (t0c, t1c), (yy0, yy1), (xx0, xx1) = g.chunk_cell_range(kt, ky, kx)
-        nyc, nxc = yy1 - yy0, xx1 - xx0
-        xs = vleft + (np.arange(xx0, xx1) + 0.5) * dx
-        ys = vtop - (np.arange(yy0, yy1) + 0.5) * dy
-        st = _AggState(agg, (nb, t1c - t0c, nyc, nxc))
-        pdf = pdf.sort_values("image_id")
-        c = {k: pdf[k].to_numpy() for k in ("it", "bytes", "fmt", "nleft", "nright", "nbottom",
-                                            "ntop", "epsg", "vleft", "vright", "vbottom", "vtop")}
-        for i in range(len(pdf)):  # plain array indexing — iterrows is ~10× slower
-            lt = int(c["it"][i]) - t0c
-            if not (0 <= lt < t1c - t0c):
-                continue
-            res = _sample_image(c["bytes"][i], c["fmt"][i],
-                                (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
-                                int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
-                                (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
-                                band_idx, dxv=dx, dyv=dy, use_overviews=use_overviews)
-            if res is None:
-                continue
-            vals, oy, ox = res
-            if mask is not None:
-                bad = mask.apply(vals[mask_idx])
-                vals = np.where(bad[None, ...], np.nan, vals)
-            st.update(vals, lt, oy, ox)
-        t = st.finalize()
-        if out_idx is not None and len(out_idx) != t.shape[0]:
-            t = t[out_idx]  # drop the mask-only band from the output
-        if np.all(np.isnan(t)):
-            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        for f in _post:  # fused narrow chain (map_chunks elision contract)
-            t = f(t, (kt, ky, kx))
-            if t is None or (isinstance(t, np.ndarray) and np.all(np.isnan(t))):
+    def mk_build(chain: tuple):
+        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(key[0])
+            kt, ky, kx = g.chunk_coords(cid)
+            (t0c, t1c), (yy0, yy1), (xx0, xx1) = g.chunk_cell_range(kt, ky, kx)
+            nyc, nxc = yy1 - yy0, xx1 - xx0
+            xs = vleft + (np.arange(xx0, xx1) + 0.5) * dx
+            ys = vtop - (np.arange(yy0, yy1) + 0.5) * dy
+            st = _AggState(agg, (nb, t1c - t0c, nyc, nxc))
+            pdf = pdf.sort_values("image_id")
+            c = {k: pdf[k].to_numpy() for k in ("it", "bytes", "fmt", "nleft", "nright", "nbottom",
+                                                "ntop", "epsg", "vleft", "vright", "vbottom", "vtop")}
+            for i in range(len(pdf)):  # plain array indexing — iterrows is ~10× slower
+                lt = int(c["it"][i]) - t0c
+                if not (0 <= lt < t1c - t0c):
+                    continue
+                res = _sample_image(c["bytes"][i], c["fmt"][i],
+                                    (c["nleft"][i], c["nright"][i], c["nbottom"][i], c["ntop"][i]),
+                                    int(c["epsg"][i]), xs, ys, view_epsg, resampling, nb_payload,
+                                    (c["vleft"][i], c["vright"][i], c["vbottom"][i], c["vtop"][i]),
+                                    band_idx, dxv=dx, dyv=dy, use_overviews=use_overviews)
+                if res is None:
+                    continue
+                vals, oy, ox = res
+                if mask is not None:
+                    bad = mask.apply(vals[mask_idx])
+                    vals = np.where(bad[None, ...], np.nan, vals)
+                st.update(vals, lt, oy, ox)
+            t = st.finalize()
+            if out_idx is not None and len(out_idx) != t.shape[0]:
+                t = t[out_idx]  # drop the mask-only band from the output
+            if np.all(np.isnan(t)):
                 return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=t.shape[0], nt=t.shape[1],
-                                  ny=t.shape[2], nx=t.shape[3], data=pack_tensor(t))])
+            for f in chain:  # fused narrow chain (map_chunks elision contract)
+                t = f(t, (kt, ky, kx))
+                if t is None or (isinstance(t, np.ndarray) and np.all(np.isnan(t))):
+                    return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+            return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=t.shape[0], nt=t.shape[1],
+                                      ny=t.shape[2], nx=t.shape[3], data=pack_tensor(t))])
+        return build
 
     out_bands = list(band_sel) if band_sel is not None else list(bands)
-    o_view, o_bands, o_chunking = _out_meta or (view, out_bands, g)
     if salt > 0 and agg in DECOMPOSABLE:
-        cube = _salted_scan(exploded, o_view, o_bands, g, mask, salt,
-                            build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
-                                       mask_idx, nb_payload, band_idx, out_idx,
-                                       use_overviews),
-                            post=_post, out_chunking=o_chunking)
+        cube, make_df = _salted_scan(exploded, view, out_bands, g, mask, salt,
+                                     build_ctx=(vleft, vtop, dx, dy, view_epsg, resampling, nb, agg,
+                                                mask_idx, nb_payload, band_idx, out_idx,
+                                                use_overviews))
     else:
         # Pin the decode shuffle's task count: AQE coalesces by POST-SHUFFLE
         # BYTES, but this stage's rows are compressed image refs whose decode/
@@ -528,26 +550,21 @@ def raster_cube(images: DataFrame, view: CubeView, bands: List[str],
         # the groupBy's clustering (no second exchange) and AQE leaves
         # user-numbered repartitions alone. n = 4x parallelism oversubscription
         # (scheduler slack for per-chunk cost variance), capped by chunk count.
-        out = (pin_group_partitions(exploded, "chunk_id", g.n_chunks)
-               .groupBy("chunk_id").applyInPandas(build, CHUNK_SCHEMA))
-        cube = Cube(out, o_view, o_bands, o_chunking)
-    if not _post:
-        # select_bands pushdown hook: rebuilding the scan with fewer bands
-        # (only valid on the bare scan — a fused chain would be dropped)
-        cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
-                                                       mask=mask, salt=salt, band_sel=list(names))
-    # narrow-op fusion hook (see Cube.map_chunks): rebuild this scan with the
-    # tensor fn appended to the in-build chain
-    cube._fuse_into_scan = lambda fn, fview, fbands, fchunking: raster_cube(
-        images, view, full_bands, chunking=g, mask=mask, salt=salt,
-        band_sel=band_sel, use_overviews=use_overviews,
-        _post=_post + (fn,), _out_meta=(fview, fbands, fchunking))
+        pinned = pin_group_partitions(exploded, "chunk_id", g.n_chunks)
+
+        def make_df(chain: tuple):
+            return pinned.groupBy("chunk_id").applyInPandas(mk_build(chain), CHUNK_SCHEMA)
+
+        cube = Cube(make_df(()), view, out_bands, g)
+    # select_bands pushdown hook: rebuilding the scan with fewer bands
+    cube._scan_rebuild = lambda names: raster_cube(images, view, full_bands, chunking=g,
+                                                   mask=mask, salt=salt, band_sel=list(names))
+    _attach_scan_fusion(cube, make_df, ())
     return cube
 
 
 def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: ChunkGrid,
-                 mask: Optional[ImageMask], salt: int, build_ctx,
-                 post: tuple = (), out_chunking: Optional[ChunkGrid] = None) -> Cube:
+                 mask: Optional[ImageMask], salt: int, build_ctx):
     """Two-phase skew-proof scan: partial aggregation per (chunk_id, salt
     bucket of image_id), then merge per chunk_id. Bounds any single task to
     ~|images_in_chunk|/salt decodes (north-rule skew handling)."""
@@ -618,58 +635,63 @@ def _salted_scan(exploded: DataFrame, view: CubeView, bands: List[str], g: Chunk
             aux = pack_tensor(ordarr)
         return pd.DataFrame([dict(chunk_id=cid, state=pack_tensor(st.acc), aux=aux)])
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(key[0])
-        kt, ky, kx = g.chunk_coords(cid)
-        (t0c, t1c), (yy0, yy1), (xx0, xx1) = g.chunk_cell_range(kt, ky, kx)
-        shape = (nb, t1c - t0c, yy1 - yy0, xx1 - xx0)
-        acc = np.full(shape, np.nan)
-        cnt = np.zeros(shape) if agg == "mean" else None
-        acc_ord = np.full(shape, np.nan) if agg in ("first", "last") else None
-        for _, row in pdf.iterrows():
-            s = np.frombuffer(row["state"], dtype="<f8").reshape(shape)
-            ok = ~np.isnan(s)
-            if agg == "min":
-                acc = np.fmin(acc, s)
-            elif agg == "max":
-                acc = np.fmax(acc, s)
-            elif agg in ("sum", "count_images", "count_values"):
-                first = ok & np.isnan(acc)
-                acc[first] = 0.0
-                acc[ok] += s[ok]
-            elif agg == "mean":
-                c = np.frombuffer(row["aux"], dtype="<f8").reshape(shape)
-                first = ok & np.isnan(acc)
-                acc[first] = 0.0
-                acc[ok] += s[ok]
-                cnt += c
-            elif agg in ("first", "last"):
-                o = np.frombuffer(row["aux"], dtype="<f8").reshape(shape)
-                if agg == "first":
-                    take = ok & (np.isnan(acc_ord) | (o < acc_ord))
-                else:
-                    take = ok & (np.isnan(acc_ord) | (o > acc_ord))
-                acc[take] = s[take]
-                acc_ord[take] = o[take]
-        if agg == "mean":
-            with np.errstate(invalid="ignore"):
-                acc = acc / np.maximum(cnt, 1)
-        if out_idx is not None and len(out_idx) != acc.shape[0]:
-            acc = acc[out_idx]
-        if np.all(np.isnan(acc)):
-            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        for f in post:  # fused narrow chain (map_chunks elision contract)
-            acc = f(acc, (kt, ky, kx))
-            if acc is None or (isinstance(acc, np.ndarray) and np.all(np.isnan(acc))):
+    def mk_merge(chain: tuple):
+        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(key[0])
+            kt, ky, kx = g.chunk_coords(cid)
+            (t0c, t1c), (yy0, yy1), (xx0, xx1) = g.chunk_cell_range(kt, ky, kx)
+            shape = (nb, t1c - t0c, yy1 - yy0, xx1 - xx0)
+            acc = np.full(shape, np.nan)
+            cnt = np.zeros(shape) if agg == "mean" else None
+            acc_ord = np.full(shape, np.nan) if agg in ("first", "last") else None
+            for _, row in pdf.iterrows():
+                s = np.frombuffer(row["state"], dtype="<f8").reshape(shape)
+                ok = ~np.isnan(s)
+                if agg == "min":
+                    acc = np.fmin(acc, s)
+                elif agg == "max":
+                    acc = np.fmax(acc, s)
+                elif agg in ("sum", "count_images", "count_values"):
+                    first = ok & np.isnan(acc)
+                    acc[first] = 0.0
+                    acc[ok] += s[ok]
+                elif agg == "mean":
+                    c = np.frombuffer(row["aux"], dtype="<f8").reshape(shape)
+                    first = ok & np.isnan(acc)
+                    acc[first] = 0.0
+                    acc[ok] += s[ok]
+                    cnt += c
+                elif agg in ("first", "last"):
+                    o = np.frombuffer(row["aux"], dtype="<f8").reshape(shape)
+                    if agg == "first":
+                        take = ok & (np.isnan(acc_ord) | (o < acc_ord))
+                    else:
+                        take = ok & (np.isnan(acc_ord) | (o > acc_ord))
+                    acc[take] = s[take]
+                    acc_ord[take] = o[take]
+            if agg == "mean":
+                with np.errstate(invalid="ignore"):
+                    acc = acc / np.maximum(cnt, 1)
+            if out_idx is not None and len(out_idx) != acc.shape[0]:
+                acc = acc[out_idx]
+            if np.all(np.isnan(acc)):
                 return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
-        return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=acc.shape[0], nt=acc.shape[1],
-                                  ny=acc.shape[2], nx=acc.shape[3], data=pack_tensor(acc))])
+            for f in chain:  # fused narrow chain (map_chunks elision contract)
+                acc = f(acc, (kt, ky, kx))
+                if acc is None or (isinstance(acc, np.ndarray) and np.all(np.isnan(acc))):
+                    return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+            return pd.DataFrame([dict(chunk_id=cid, ct=kt, cy=ky, cx=kx, nb=acc.shape[0], nt=acc.shape[1],
+                                      ny=acc.shape[2], nx=acc.shape[3], data=pack_tensor(acc))])
+        return merge
 
     salted = exploded.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
     part = (pin_group_partitions(salted, ["chunk_id", "_salt"], g.n_chunks * salt)
             .groupBy("chunk_id", "_salt").applyInPandas(partial, part_schema))
-    out = part.groupBy("chunk_id").applyInPandas(merge, CHUNK_SCHEMA)
-    return Cube(out, view, list(bands), out_chunking or g)
+
+    def make_df(chain: tuple):
+        return part.groupBy("chunk_id").applyInPandas(mk_merge(chain), CHUNK_SCHEMA)
+
+    return Cube(make_df(()), view, list(bands), g), make_df
 
 
 def inventory_partition_columns(images: DataFrame, time_bucket: str = "month",
