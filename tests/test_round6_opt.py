@@ -185,6 +185,37 @@ def test_scan_fusion_matches_unfused(spark):
     assert np.array_equal(salted_fused, salted_unfused, equal_nan=True)
 
 
+def test_scan_fusion_stream_thunk_routes(spark):
+    """Both consumer routes of a scan-fused narrow chain must match the
+    unfused computation: the combinable reduce (chunk_stream -> lazy
+    bare-scan thunk, chain applied in the consumer's UDF) and the gather
+    median (direct cube.df, chain applied inside the scan build)."""
+    from gdalcubes_spark.grid import ChunkGrid, CubeView
+    from gdalcubes_spark.sources.raster_cube import raster_cube
+    from gdalcubes_spark.synth import ImageLayout, band_names, generate_images
+
+    lay = ImageLayout(left0=0.0, top0=2.0, tile_dx=1.0, tile_dy=1.0, gx=2, gy=2,
+                      ntime=3, dt_days=31, tile_w=16, tile_h=16, nb=2,
+                      fmts=("png", "raw"), hot_every=5, overlap=0.2)
+    imgs = generate_images(spark, 24, lay)
+    v = CubeView.create(srs="EPSG:4326", left=0, right=2, bottom=0, top=2,
+                        t0="2021-01-01", t1="2021-03-31", dt="P1M",
+                        dx=1.0 / 16, dy=1.0 / 16,
+                        aggregation="mean", resampling="bilinear")
+    g = ChunkGrid(nt=v.nt, ny=v.ny, nx=v.nx, ct=1, cy=16, cx=16)
+    fused = raster_cube(imgs, v, band_names(lay), chunking=g) \
+        .apply_pixel("b01 * 2 + b02", ["s"])
+    ref_cube = raster_cube(imgs, v, band_names(lay), chunking=g)
+    del ref_cube._fuse_into_scan  # force the plain map_chunks path
+    ref = ref_cube.apply_pixel("b01 * 2 + b02", ["s"])
+    got_c = fused.reduce_time("mean(s)", "max(s)").collect_array()
+    ref_c = ref.reduce_time("mean(s)", "max(s)").collect_array()
+    assert np.array_equal(got_c, ref_c, equal_nan=True)
+    got_m = fused.reduce_time("median(s)", names=["m"]).collect_array()
+    ref_m = ref.reduce_time("median(s)", names=["m"]).collect_array()
+    assert np.array_equal(got_m, ref_m, equal_nan=True)
+
+
 def test_neardup_plane_count_derivation(spark):
     from pyspark.sql import functions as F
     from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
