@@ -31,6 +31,7 @@ and a production cluster swaps in libjpeg bindings at the same seam
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -59,12 +60,12 @@ QT_CHROMA = np.array([
     dtype=np.float64).reshape(8, 8)
 
 # Annex K.3 standard Huffman tables: (bits[1..16], huffval)
-DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-DC_LUMA_VALS = list(range(12))
-DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
-DC_CHROMA_VALS = list(range(12))
-AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-AC_LUMA_VALS = [
+DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_LUMA_VALS = tuple(range(12))
+DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROMA_VALS = tuple(range(12))
+AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_LUMA_VALS = (
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
@@ -78,9 +79,9 @@ AC_LUMA_VALS = [
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
-    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
-AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
-AC_CHROMA_VALS = [
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROMA_VALS = (
     0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
@@ -94,7 +95,7 @@ AC_CHROMA_VALS = [
     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
-    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
 
 # orthonormal 8-point DCT-II matrix: forward block transform = D @ B @ D.T
 _D = np.array([[(np.sqrt(0.125) if k == 0 else 0.5)
@@ -111,8 +112,11 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 # ----------------------------------------------------------- huffman build
 
+@functools.lru_cache(maxsize=64)
 def _huff_codes(bits, vals):
-    """(symbol -> (code, length)) per T.81 Annex C canonical assignment."""
+    """(symbol -> (code, length)) per T.81 Annex C canonical assignment.
+    Cached — encoders pass the module-constant Annex K tables, and the dict
+    build was ~5% of a small-image encode."""
     out, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -122,9 +126,6 @@ def _huff_codes(bits, vals):
             k += 1
         code <<= 1
     return out
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)
