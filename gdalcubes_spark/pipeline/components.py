@@ -123,7 +123,20 @@ def connected_components(pairs: DataFrame, src: str = "ida", dst: str = "idb",
              .collect()[0])
         return (r["n"], r["s"])
 
-    prev = None
+    # canonical signature of the INPUT edge set: both star operators depend
+    # only on the canonical (least, greatest) set, so if one round leaves
+    # that set unchanged the input was already a fixpoint and the loop can
+    # stop after round 0 instead of confirming with a second full round.
+    # Near-dup graphs are often pure clone pairs (already stars) — this
+    # halves their CC cost. Sound without a distinct: if the input holds
+    # both orientations of an edge, its count exceeds the canonical set's
+    # and the signatures simply cannot match (no false positive).
+    r0 = (edges.agg(F.count("*").alias("n"),
+                    F.sum(F.pmod(F.xxhash64(F.least("src", "dst"),
+                                            F.greatest("src", "dst")),
+                                 F.lit(1 << 40))).alias("s"))
+          .collect()[0])
+    prev = (r0["n"], r0["s"])
     for _ in range(max_rounds):
         old_live = live
         edges, live = checkpointed(_small_star(_large_star(edges)))

@@ -216,6 +216,37 @@ def test_scan_fusion_stream_thunk_routes(spark):
     assert np.array_equal(got_m, ref_m, equal_nan=True)
 
 
+def test_cc_input_fixpoint_early_stop(spark):
+    """A pure-pair graph (already a star per component) must converge after
+    ONE star round via the input-canonical-signature check, and a chain
+    graph must still run full rounds and collapse to its minimum label."""
+    import gdalcubes_spark.pipeline.components as C
+    calls = {"n": 0}
+    orig = C._small_star
+
+    def counting(e):
+        calls["n"] += 1
+        return orig(e)
+
+    C._small_star = counting
+    try:
+        pairs = spark.createDataFrame([(i, i + 1000) for i in range(50)],
+                                      "ida long, idb long")
+        comp = {r["id"]: r["component"]
+                for r in C.connected_components(pairs).collect()}
+        assert calls["n"] == 1, f"pure pairs took {calls['n']} rounds"
+        assert all(comp[i] == i and comp[i + 1000] == i for i in range(50))
+        calls["n"] = 0
+        chain = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                      "ida long, idb long")
+        comp2 = {r["id"]: r["component"]
+                 for r in C.connected_components(chain).collect()}
+        assert calls["n"] > 1
+        assert all(v == 0 for v in comp2.values())
+    finally:
+        C._small_star = orig
+
+
 def test_neardup_plane_count_derivation(spark):
     from pyspark.sql import functions as F
     from gdalcubes_spark.pipeline.similarity import cosine_neardup_pairs_bucketed
